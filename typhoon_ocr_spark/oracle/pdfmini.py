@@ -1,0 +1,647 @@
+"""Minimal PDF writer + layout parser (no third-party libs).
+
+The reference extracts page layout through pypdf visitors
+(/root/reference/packages/typhoon_ocr/typhoon_ocr/ocr_utils.py:358-388):
+the text visitor records each text-show with the translation components
+of ``tm x cm`` (ocr_utils.py:365-367), and the image visitor records a
+unit square pushed through the CTM for every ``Do`` of an
+``/Subtype /Image`` XObject, ignoring /Width//Height
+(ocr_utils.py:369-380). pypdf is unavailable here, so this module is
+the engine's own content-stream interpreter for the documented operator
+subset — ``BT/ET, Td/TD/Tm/T*/TL, Tj/TJ/'/", cm/q/Q, Do`` — with those
+exact placement semantics. Fixture PDFs (written by ``MiniPdfWriter``)
+stay inside that subset and always reposition before each show op, so
+glyph-advance modeling is not needed.
+
+Supported file structure: classic xref, uncompressed streams, page
+tree with nested /Kids, /MediaBox and /Resources inheritable from
+parent nodes, single or array /Contents.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple, Union
+
+from .elements import (
+    BoundingBox,
+    ImageElement,
+    PageReport,
+    TextElement,
+    mat_mult,
+    transform_point,
+)
+
+IDENTITY = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+
+
+# --------------------------------------------------------------------------
+# Object model (tiny): PDF values are represented as Python values;
+# names as strings starting with "/", references as ("ref", num).
+# --------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_REF_TAIL_RE = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Tokenizer for PDF object syntax + content streams."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def next_token(self):
+        """Return next token: float/int, bytes (string), str (name or
+        operator), list, dict, ("ref", n), or None at end."""
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return None
+        c = d[self.pos]
+
+        if c == 0x28:  # ( literal string
+            return self._literal_string()
+        if c == 0x3C:  # < or <<
+            if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return self._dict_body()
+            return self._hex_string()
+        if c == 0x5B:  # [
+            self.pos += 1
+            items = []
+            while True:
+                self._skip_ws()
+                if self.pos < n and d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return items
+                tok = self.next_token()
+                if tok is None:
+                    return items
+                items.append(tok)
+        if c == 0x5D:
+            self.pos += 1
+            return "]"
+        if c == 0x2F:  # name
+            start = self.pos
+            self.pos += 1
+            while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+                self.pos += 1
+            return d[start : self.pos].decode("latin-1")
+        if c in b"+-.0123456789":
+            start = self.pos
+            self.pos += 1
+            while self.pos < n and d[self.pos] in b"+-.0123456789":
+                self.pos += 1
+            raw = d[start : self.pos]
+            # look ahead for "N 0 R" indirect reference
+            if b"." not in raw:
+                save = self.pos
+                self._skip_ws()
+                m = _REF_TAIL_RE.match(d, self.pos)
+                if m:
+                    self.pos = m.end()
+                    return ("ref", int(raw))
+                self.pos = save
+            try:
+                return int(raw)
+            except ValueError:
+                try:
+                    return float(raw)
+                except ValueError:
+                    return 0
+        # operator / keyword
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:  # lone delimiter we don't handle; skip it
+            self.pos += 1
+            return self.next_token()
+        return d[start : self.pos].decode("latin-1")
+
+    def _literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1
+        out = bytearray()
+        depth = 1
+        while self.pos < n:
+            c = d[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                simple = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                          0x28: 40, 0x29: 41, 0x5C: 92}
+                if e in simple:
+                    out.append(simple[e])
+                    self.pos += 1
+                elif e in b"01234567":
+                    oct_digits = bytearray()
+                    while self.pos < n and len(oct_digits) < 3 and d[self.pos] in b"01234567":
+                        oct_digits.append(d[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits.decode(), 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    break
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        return bytes(out)
+
+    def _hex_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        self.pos += 1
+        digits = []
+        while self.pos < n and d[self.pos] != 0x3E:
+            ch = chr(d[self.pos])
+            if ch in "0123456789abcdefABCDEF":
+                digits.append(ch)
+            self.pos += 1
+        self.pos += 1  # consume '>'
+        if len(digits) % 2:
+            digits.append("0")
+        return bytes(int("".join(digits[i : i + 2]), 16) for i in range(0, len(digits), 2))
+
+    def _dict_body(self) -> dict:
+        d, n = self.data, len(self.data)
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.pos + 1 < n and d[self.pos] == 0x3E and d[self.pos + 1] == 0x3E:
+                self.pos += 2
+                return out
+            key = self.next_token()
+            if key is None:
+                return out
+            if not (isinstance(key, str) and key.startswith("/")):
+                continue
+            value = self.next_token()
+            out[key] = value
+
+
+def _decode_pdf_text(raw: bytes) -> str:
+    """Fixture convention: literal strings hold ASCII/UTF-8; hex strings
+    hold UTF-8 (Thai etc.). UTF-16BE BOM honored like standard readers."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
+
+
+# --------------------------------------------------------------------------
+# Document parsing
+# --------------------------------------------------------------------------
+
+class MiniPdfError(ValueError):
+    pass
+
+
+def _index_objects(data: bytes) -> Dict[int, int]:
+    """Map object number → offset of its body (after 'obj')."""
+    table: Dict[int, int] = {}
+    for m in _OBJ_RE.finditer(data):
+        table[int(m.group(1))] = m.end()
+    if not table:
+        raise MiniPdfError("no indirect objects found")
+    return table
+
+
+class _Document:
+    def __init__(self, data: bytes) -> None:
+        if not data.startswith(b"%PDF-"):
+            raise MiniPdfError("missing %PDF- header")
+        self.data = data
+        self.offsets = _index_objects(data)
+        self._cache: Dict[int, object] = {}
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None:
+            raise MiniPdfError(f"missing object {num}")
+        value = _Lexer(self.data, off).next_token()
+        self._cache[num] = value
+        return value
+
+    def deref(self, value):
+        while isinstance(value, tuple) and len(value) == 2 and value[0] == "ref":
+            value = self.obj(value[1])
+        return value
+
+    def stream_bytes(self, num: int) -> bytes:
+        off = self.offsets[num]
+        lex = _Lexer(self.data, off)
+        info = lex.next_token()  # the stream dict
+        m = re.compile(rb"stream(\r\n|\n|\r)").search(self.data, lex.pos)
+        if not m:
+            return b""
+        start = m.end()
+        if isinstance(info, dict):
+            length = self.deref(info.get("/Length"))
+            if isinstance(length, int):
+                return self.data[start : start + length]
+        end = self.data.find(b"endstream", start)
+        return self.data[start : end if end >= 0 else len(self.data)]
+
+    def catalog(self) -> dict:
+        m = None
+        for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", self.data):
+            pass
+        if m:
+            cat = self.deref(("ref", int(m.group(1))))
+            if isinstance(cat, dict):
+                return cat
+        # fallback: scan for /Type /Catalog
+        for num in self.offsets:
+            candidate = self.obj(num)
+            if isinstance(candidate, dict) and candidate.get("/Type") == "/Catalog":
+                return candidate
+        raise MiniPdfError("no catalog")
+
+    def pages(self) -> List[Tuple[dict, dict]]:
+        """Flatten the page tree in order → [(page_dict, inherited)]."""
+        root = self.deref(self.catalog().get("/Pages"))
+        out: List[Tuple[dict, dict]] = []
+
+        def walk(node, inherited: dict) -> None:
+            node = self.deref(node)
+            if not isinstance(node, dict):
+                return
+            merged = dict(inherited)
+            for key in ("/MediaBox", "/Resources"):
+                if key in node:
+                    merged[key] = node[key]
+            if node.get("/Type") == "/Page":
+                out.append((node, merged))
+                return
+            for kid in self.deref(node.get("/Kids")) or []:
+                walk(kid, merged)
+
+        walk(root, {})
+        return out
+
+
+def page_count(data: bytes) -> int:
+    """Page count; mirrors the reference's swallow-errors→1 behavior
+    (/root/reference/backend/services/ocr_service.py:117-124)."""
+    try:
+        return max(1, len(_Document(data).pages()))
+    except Exception:
+        return 1
+
+
+# --------------------------------------------------------------------------
+# Content-stream interpretation (the layout-parse oracle)
+# --------------------------------------------------------------------------
+
+def _interpret_content(
+    content: bytes,
+    image_xobjects: Dict[str, bool],
+) -> Tuple[List[TextElement], List[ImageElement]]:
+    texts: List[TextElement] = []
+    images: List[ImageElement] = []
+    lex = _Lexer(content)
+    stack: List[object] = []
+    ctm = list(IDENTITY)
+    ctm_stack: List[List[float]] = []
+    tm = list(IDENTITY)
+    tlm = list(IDENTITY)
+    leading = 0.0
+
+    def nums(k: int) -> List[float]:
+        vals = stack[-k:]
+        del stack[-k:]
+        return [float(v) for v in vals]
+
+    def show(raw: Union[bytes, list]) -> None:
+        if isinstance(raw, list):
+            text = "".join(_decode_pdf_text(item) for item in raw if isinstance(item, bytes))
+        else:
+            text = _decode_pdf_text(raw)
+        placed = mat_mult(tm, ctm)
+        texts.append(TextElement(text, placed[4], placed[5]))
+
+    def newline() -> None:
+        nonlocal tm, tlm
+        tlm = mat_mult([1, 0, 0, 1, 0.0, -leading], tlm)
+        tm = list(tlm)
+
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        if isinstance(tok, (int, float, bytes, list, dict, tuple)) or (
+            isinstance(tok, str) and tok.startswith("/")
+        ):
+            stack.append(tok)
+            continue
+
+        op = tok
+        try:
+            if op == "q":
+                ctm_stack.append(list(ctm))
+            elif op == "Q":
+                if ctm_stack:
+                    ctm = ctm_stack.pop()
+            elif op == "cm":
+                ctm = mat_mult(nums(6), ctm)
+            elif op == "BT":
+                tm = list(IDENTITY)
+                tlm = list(IDENTITY)
+            elif op == "ET":
+                pass
+            elif op == "Td":
+                ty = float(stack.pop())
+                tx = float(stack.pop())
+                tlm = mat_mult([1, 0, 0, 1, tx, ty], tlm)
+                tm = list(tlm)
+            elif op == "TD":
+                ty = float(stack.pop())
+                tx = float(stack.pop())
+                leading = -ty
+                tlm = mat_mult([1, 0, 0, 1, tx, ty], tlm)
+                tm = list(tlm)
+            elif op == "Tm":
+                tm = nums(6)
+                tlm = list(tm)
+            elif op == "T*":
+                newline()
+            elif op == "TL":
+                leading = float(stack.pop())
+            elif op == "Tj":
+                show(stack.pop())
+            elif op == "TJ":
+                show(stack.pop())
+            elif op == "'":
+                newline()
+                show(stack.pop())
+            elif op == '"':
+                raw = stack.pop()
+                stack.pop()  # ac
+                stack.pop()  # aw
+                newline()
+                show(raw)
+            elif op == "Do":
+                name = stack.pop()
+                if isinstance(name, str) and image_xobjects.get(name):
+                    # unit square through the CTM, bbox normalized —
+                    # exactly the reference's placement (ocr_utils.py:378-380)
+                    x0, y0 = transform_point(0, 0, ctm)
+                    x1, y1 = transform_point(1, 1, ctm)
+                    images.append(
+                        ImageElement(
+                            name.lstrip("/"),
+                            BoundingBox(min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1)),
+                        )
+                    )
+            else:
+                stack.clear()  # unknown operator: drop its operands
+        except (IndexError, ValueError, TypeError):
+            stack.clear()
+
+    return texts, images
+
+
+def parse_pdf(data: bytes) -> List[PageReport]:
+    """Parse every page into the reference's PageReport IR."""
+    doc = _Document(data)
+    reports: List[PageReport] = []
+    for page, inherited in doc.pages():
+        mediabox_raw = doc.deref(page.get("/MediaBox", inherited.get("/MediaBox")))
+        if not isinstance(mediabox_raw, list) or len(mediabox_raw) != 4:
+            mediabox_raw = [0, 0, 612, 792]
+        mediabox = BoundingBox(*(float(doc.deref(v)) for v in mediabox_raw))
+
+        resources = doc.deref(page.get("/Resources", inherited.get("/Resources"))) or {}
+        xobjects = doc.deref(resources.get("/XObject")) if isinstance(resources, dict) else {}
+        image_names: Dict[str, bool] = {}
+        if isinstance(xobjects, dict):
+            for name, ref in xobjects.items():
+                target = doc.deref(ref)
+                image_names[name] = (
+                    isinstance(target, dict) and target.get("/Subtype") == "/Image"
+                )
+
+        contents = doc.deref(page.get("/Contents"))
+        chunks: List[bytes] = []
+        refs = page.get("/Contents")
+        if isinstance(refs, tuple):
+            chunks.append(doc.stream_bytes(refs[1]))
+        elif isinstance(refs, list):
+            for item in refs:
+                if isinstance(item, tuple):
+                    chunks.append(doc.stream_bytes(item[1]))
+        del contents
+        content = b"\n".join(chunks)
+
+        texts, images = _interpret_content(content, image_names)
+        reports.append(PageReport(mediabox=mediabox, text_elements=texts, image_elements=images))
+    return reports
+
+
+def parse_pdf_page(data: bytes, page_num: int) -> PageReport:
+    """1-indexed single-page parse (raises IndexError out of range, the
+    trigger for the reference's page-range ValueError path,
+    ocr_utils.py:622-623)."""
+    if page_num < 1:
+        raise IndexError("pages are 1-indexed")
+    return parse_pdf(data)[page_num - 1]
+
+
+# --------------------------------------------------------------------------
+# Fixture writer
+# --------------------------------------------------------------------------
+
+class MiniPdfWriter:
+    """Builds deterministic, spec-valid single/multi-page PDFs using only
+    the operator subset the parser understands."""
+
+    def __init__(self) -> None:
+        self._pages: List[dict] = []
+
+    @staticmethod
+    def _escape_literal(text: str) -> Optional[bytes]:
+        try:
+            raw = text.encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        out = bytearray()
+        table = {0x28: b"\\(", 0x29: b"\\)", 0x5C: b"\\\\",
+                 0x0A: b"\\n", 0x0D: b"\\r", 0x09: b"\\t"}
+        for b in raw:
+            out += table.get(b, bytes([b]))
+        return b"(" + bytes(out) + b")"
+
+    @classmethod
+    def pdf_string(cls, text: str) -> bytes:
+        literal = cls._escape_literal(text)
+        if literal is not None:
+            return literal
+        return b"<" + text.encode("utf-8").hex().encode("ascii") + b">"
+
+    def add_page(self, mediabox=(0, 0, 612, 792)) -> "MiniPdfWriter":
+        self._pages.append({"mediabox": tuple(mediabox), "ops": [], "images": {}})
+        return self
+
+    def _page(self) -> dict:
+        if not self._pages:
+            self.add_page()
+        return self._pages[-1]
+
+    def text(self, x: float, y: float, s: str, mode: str = "Td") -> "MiniPdfWriter":
+        page = self._page()
+        payload = self.pdf_string(s)
+        if mode == "Tm":
+            page["ops"].append(
+                b"BT /F1 12 Tf 1 0 0 1 %s %s Tm %s Tj ET" % (_fmt(x), _fmt(y), payload)
+            )
+        else:
+            page["ops"].append(
+                b"BT /F1 12 Tf %s %s Td %s Tj ET" % (_fmt(x), _fmt(y), payload)
+            )
+        return self
+
+    def text_tj(self, x: float, y: float, parts: List[str]) -> "MiniPdfWriter":
+        page = self._page()
+        arr = b" -250 ".join(self.pdf_string(p) for p in parts)
+        page["ops"].append(b"BT /F1 12 Tf %s %s Td [%s] TJ ET" % (_fmt(x), _fmt(y), arr))
+        return self
+
+    def text_lines(self, x: float, y: float, leading: float, lines: List[str]) -> "MiniPdfWriter":
+        """First line via Td, following lines via T* (exercises TL/T*)."""
+        page = self._page()
+        ops = [b"BT /F1 12 Tf %s TL %s %s Td" % (_fmt(leading), _fmt(x), _fmt(y))]
+        for i, line in enumerate(lines):
+            if i > 0:
+                ops.append(b"T*")
+            ops.append(b"%s Tj" % self.pdf_string(line))
+        ops.append(b"ET")
+        page["ops"].append(b" ".join(ops))
+        return self
+
+    def image(self, name: str, x0: float, y0: float, x1: float, y1: float) -> "MiniPdfWriter":
+        """Place image ``name`` covering (x0,y0)-(x1,y1) via cm + Do."""
+        page = self._page()
+        page["images"].setdefault(name, (8, 8))
+        page["ops"].append(
+            b"q %s 0 0 %s %s %s cm /%s Do Q"
+            % (_fmt(x1 - x0), _fmt(y1 - y0), _fmt(x0), _fmt(y0), name.encode())
+        )
+        return self
+
+    def raw_ops(self, ops: bytes) -> "MiniPdfWriter":
+        self._page()["ops"].append(ops)
+        return self
+
+    def build(self) -> bytes:
+        if not self._pages:
+            self.add_page()
+        chunks: List[bytes] = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"]
+        offsets: Dict[int, int] = {}
+        next_num = 1
+
+        def emit(num: int, body: bytes) -> None:
+            offsets[num] = sum(len(c) for c in chunks)
+            chunks.append(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+
+        catalog_num = next_num; next_num += 1
+        pages_num = next_num; next_num += 1
+
+        page_plan = []
+        for page in self._pages:
+            page_num = next_num; next_num += 1
+            content_num = next_num; next_num += 1
+            image_nums = {}
+            for img_name in page["images"]:
+                image_nums[img_name] = next_num; next_num += 1
+            page_plan.append((page, page_num, content_num, image_nums))
+
+        emit(catalog_num, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+        kids = b" ".join(b"%d 0 R" % p[1] for p in page_plan)
+        emit(
+            pages_num,
+            b"<< /Type /Pages /Count %d /Kids [%s] >>" % (len(page_plan), kids),
+        )
+
+        for page, page_num, content_num, image_nums in page_plan:
+            mb = b" ".join(_fmt(v) for v in page["mediabox"])
+            xobj = b""
+            if image_nums:
+                entries = b" ".join(
+                    b"/%s %d 0 R" % (name.encode(), num) for name, num in image_nums.items()
+                )
+                xobj = b" /XObject << %s >>" % entries
+            resources = (
+                b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica >> >>%s >>" % xobj
+            )
+            emit(
+                page_num,
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [%s] %s /Contents %d 0 R >>"
+                % (pages_num, mb, resources, content_num),
+            )
+            stream = b"\n".join(page["ops"])
+            emit(
+                content_num,
+                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+            )
+            for name, num in image_nums.items():
+                w, h = page["images"][name]
+                pixels = bytes((w * h) % 251 for _ in range(3))
+                emit(
+                    num,
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length %d >>\n"
+                    b"stream\n%s\nendstream" % (w, h, len(pixels), pixels),
+                )
+
+        xref_pos = sum(len(c) for c in chunks)
+        count = next_num
+        xref = [b"xref\n0 %d\n" % count, b"0000000000 65535 f \n"]
+        for num in range(1, count):
+            xref.append(b"%010d 00000 n \n" % offsets.get(num, 0))
+        chunks.append(b"".join(xref))
+        chunks.append(
+            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (count, catalog_num, xref_pos)
+        )
+        return b"".join(chunks)
+
+
+def _fmt(v: float) -> bytes:
+    if float(v) == int(v):
+        return b"%d" % int(v)
+    return ("%g" % v).encode("ascii")
