@@ -1,0 +1,151 @@
+"""Spark pipeline correctness + physical-plan properties.
+
+The byte-identical gate (FIXTURES.md §2): engine output anti-joined
+against the oracle-computed expected tables must be empty in both
+directions, per url and per (url, page).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from typhoon_ocr_spark.operators.extract import (
+    assemble_documents,
+    classify_pages,
+    extract_documents,
+    extract_pages,
+)
+from typhoon_ocr_spark.plans.session import PipelineConfig
+
+DOC_KEYS = ["url", "kind", "extracted_text", "page_count", "success"]
+PAGE_KEYS = ["url", "page", "anchor_text", "text", "success"]
+
+
+@pytest.fixture(scope="module")
+def frames(spark, fixture_dir):
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    docs = extract_documents(pages).cache()
+    page_frame = extract_pages(pages).cache()
+    expected_docs = spark.read.parquet(os.path.join(fixture_dir, "expected_docs.parquet"))
+    expected_pages = spark.read.parquet(os.path.join(fixture_dir, "expected_pages.parquet"))
+    yield pages, docs, page_frame, expected_docs, expected_pages
+    docs.unpersist()
+    page_frame.unpersist()
+
+
+def test_documents_byte_identical(frames):
+    _, docs, _, expected_docs, _ = frames
+    assert docs.count() == expected_docs.count()
+    assert docs.join(expected_docs, DOC_KEYS, "left_anti").count() == 0
+    assert expected_docs.join(docs, DOC_KEYS, "left_anti").count() == 0
+
+
+def test_pages_byte_identical(frames):
+    _, _, page_frame, _, expected_pages = frames
+    got = page_frame.select(*PAGE_KEYS)
+    exp = expected_pages.select(*PAGE_KEYS)
+    assert got.count() == exp.count()
+    # null-safe keys: anchor_text is NULL for html/junk rows
+    cond = [got[k].eqNullSafe(exp[k]) for k in PAGE_KEYS]
+    assert got.join(exp, cond, "left_anti").count() == 0
+    assert exp.join(got, cond, "left_anti").count() == 0
+
+
+def test_kind_routing_matches_oracle(frames):
+    pages, _, _, expected_docs, _ = frames
+    got = classify_pages(pages).select("url", "kind")
+    exp = expected_docs.select("url", "kind")
+    assert got.join(exp, ["url", "kind"], "left_anti").count() == 0
+
+
+def _fresh_plan(frames) -> str:
+    """Physical plan of the pipeline with a non-default budget so the
+    cached fixture frames can't substitute InMemoryTableScan."""
+    pages = frames[0]
+    df = extract_documents(pages, PipelineConfig(anchor_budget=4001))
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_single_scan(frames):
+    """The whole pipeline must read the source exactly once — branch-
+    per-kind plans triple the scan of the BINARY column (a 3x read at
+    100 TB)."""
+    plan = _fresh_plan(frames)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_scan_prunes_columns(frames):
+    """Only url+html may reach the scan; warc_ts/text/lang must be
+    pruned (ReadSchema check — free 40%+ IO saving at scale)."""
+    plan = _fresh_plan(frames)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "url" in read_schema and "html" in read_schema
+    assert "warc_ts" not in read_schema and "lang" not in read_schema
+
+
+def test_skew_doc_pages_spread_across_partitions(frames):
+    """Pages of the giant skew-cohort document must fan out over many
+    partitions after the (url, page) repartition — the skew-defusal
+    property the north rule names."""
+    _, _, page_frame, _, _ = frames
+    skew_url = (
+        page_frame.groupBy("url").count().orderBy(F.desc("count")).first()["url"]
+    )
+    n_parts = (
+        page_frame.filter(F.col("url") == skew_url)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1, "giant document stayed on one partition"
+
+
+def test_error_rows_not_failures(spark):
+    """Broken payloads yield success=false rows, never task failures
+    (mirrors /root/reference/backend/services/ocr_service.py:254-262)."""
+    rows = [
+        ("u1", bytearray(b"%PDF-1.4 but broken")),
+        ("u2", bytearray(b"\x00\xffjunk")),
+        ("u3", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in extract_documents(df).collect()}
+    assert not out["u1"]["success"] and out["u1"]["kind"] == "pdf"
+    assert not out["u2"]["success"] and out["u2"]["kind"] == "junk"
+    assert not out["u3"]["success"] and out["u3"]["kind"] == "junk"
+    assert all(r["extracted_text"] == "" for r in out.values())
+
+
+def test_assembly_page_order(spark):
+    """Assembly joins page texts in page order regardless of row order
+    (reducer semantics of /root/reference/app.py:581)."""
+    rows = [
+        ("u", "pdf", 2, None, "second", True, None),
+        ("u", "pdf", 1, None, "first", True, None),
+        ("u", "pdf", 3, None, None, False, "boom"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, kind string, page int, anchor_text string, "
+        "text string, success boolean, error string"
+    )
+    row = assemble_documents(df).collect()[0]
+    assert row["extracted_text"] == "first\n\nsecond"
+    assert row["page_count"] == 3
+    assert row["success"] is False
+
+
+def test_anchor_budget_config(spark, fixture_dir):
+    """PipelineConfig.anchor_budget reaches the linearize UDF."""
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    tiny = extract_pages(pages, PipelineConfig(anchor_budget=19))
+    anchors = (
+        tiny.filter((F.col("kind") == "pdf") & F.col("success"))
+        .select("anchor_text")
+        .limit(20)
+        .collect()
+    )
+    assert anchors
+    for r in anchors:
+        assert r["anchor_text"].startswith("Page dimensions: ")
+        assert r["anchor_text"].count("\n") == 1  # header only at budget<20

@@ -1,0 +1,263 @@
+"""Pandas UDFs + native expressions for the extraction pipeline.
+
+Design rules (SURVEY.md §4.2):
+- each UDF takes ONLY the columns it needs (column pruning through the
+  opaque UDF boundary is manual);
+- per-row Python exists only inside Series.map over the pure oracle
+  functions — the Arrow batch is the vectorization unit;
+- anything natively expressible (sniffing magic bytes, struct
+  assembly, sort/agg) is a JVM column expression instead.
+
+The oracle functions themselves live in typhoon_ocr_spark.oracle and
+are identical bytes-in/bytes-out to what the fixture generator used,
+which is what makes the byte-identical anti-join a real gate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..oracle.elements import BoundingBox, ImageElement, PageReport, TextElement
+from ..oracle.htmlstrip import strip_html_boilerplate
+from ..oracle.linearize import linearize_page, truncation_rng
+from ..oracle.mdflatten import markdown_to_plain_text
+from ..oracle.pdfmini import parse_pdf
+from ..oracle.prompts import render_prompt
+from ..oracle.respparse import parse_response_text
+from ..oracle.textops import cleanup_element_text
+
+# ---------------------------------------------------------------------------
+# Schemas
+# ---------------------------------------------------------------------------
+
+ELEMENT_STRUCT = StructType(
+    [
+        StructField("e", StringType()),      # 't' text | 'i' image
+        StructField("text", StringType()),   # raw run text (t)
+        StructField("x", DoubleType()),      # origin (t)
+        StructField("y", DoubleType()),
+        StructField("x0", DoubleType()),     # bbox (i)
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("name", StringType()),   # xobject name (i)
+    ]
+)
+
+MEDIABOX_STRUCT = StructType(
+    [
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+    ]
+)
+
+PAGE_STRUCT = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("mediabox", MEDIABOX_STRUCT),
+        StructField("elements", ArrayType(ELEMENT_STRUCT)),
+        StructField("text", StringType()),   # html branch output
+        StructField("error", StringType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Native expressions
+# ---------------------------------------------------------------------------
+
+def sniff_kind_col(html_col: str = "html") -> Column:
+    """Payload routing as pure JVM expressions — no Python, no UDF
+    (engine-side replacement for the extension dispatch at
+    /root/reference/packages/typhoon_ocr/typhoon_ocr/ocr_utils.py:562).
+
+    pdf:  first 5 bytes are the %PDF- magic (X'255044462D');
+    html: lossy-decoded 256-byte head, left-trimmed, starts with '<';
+    junk: everything else (incl. NULL/empty payloads).
+    """
+    col = F.col(html_col)
+    is_pdf = F.substring(col, 1, 5) == F.lit(b"%PDF-")
+    head = F.ltrim(F.substring(col, 1, 256).cast("string"))
+    is_html = F.startswith(head, F.lit("<"))
+    return (
+        F.when(col.isNull() | (F.length(col) == 0), F.lit("junk"))
+        .when(is_pdf, F.lit("pdf"))
+        .when(is_html, F.lit("html"))
+        .otherwise(F.lit("junk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDFs (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+def _element_rows(report: PageReport) -> list:
+    rows = []
+    for el in report.text_elements:
+        rows.append(
+            {"e": "t", "text": el.text, "x": float(el.x), "y": float(el.y),
+             "x0": None, "y0": None, "x1": None, "y1": None, "name": None}
+        )
+    for img in report.image_elements:
+        b = img.bbox
+        rows.append(
+            {"e": "i", "text": None, "x": None, "y": None,
+             "x0": float(b.x0), "y0": float(b.y0), "x1": float(b.x1), "y1": float(b.y1),
+             "name": img.name}
+        )
+    return rows
+
+
+def _page_row(page: int, mediabox=None, elements=None, text=None, error=None) -> dict:
+    return {"page": page, "mediabox": mediabox, "elements": elements,
+            "text": text, "error": error}
+
+
+def _parse_pdf_rows(blob: bytes) -> list:
+    try:
+        reports = parse_pdf(blob)
+    except Exception as exc:
+        return [_page_row(1, error=f"Error processing document: {exc}")]
+    out = []
+    for idx, report in enumerate(reports, start=1):
+        mb = report.mediabox
+        out.append(
+            _page_row(
+                idx,
+                mediabox={"x0": mb.x0, "y0": mb.y0, "x1": mb.x1, "y1": mb.y1},
+                elements=_element_rows(report),
+            )
+        )
+    return out or [_page_row(1, error="empty pdf")]
+
+
+@pandas_udf(ArrayType(PAGE_STRUCT))
+def stage_pages_udf(kind: pd.Series, payload: pd.Series) -> pd.Series:
+    """Stage-1 of the pipeline, one pass over the raw payloads:
+    pdf → per-page layout IR (content-stream interpreter standing in for
+    the reference's pypdf visitor pass, ocr_utils.py:358-388);
+    html → single page carrying the boilerplate-stripped text;
+    junk → single failed page row.
+
+    Routing happens INSIDE the batch so the source is scanned exactly
+    once — filter-per-branch plans triple the 100 TB read (see
+    operators/extract.py). Errors become error page rows, never task
+    failures (/root/reference/backend/services/ocr_service.py:254-262).
+    """
+
+    def one(k: str, blob: Optional[bytes]) -> list:
+        if k == "pdf" and blob is not None:
+            return _parse_pdf_rows(bytes(blob))
+        if k == "html" and blob is not None:
+            try:
+                return [_page_row(1, text=strip_html_boilerplate(bytes(blob)))]
+            except Exception as exc:
+                return [_page_row(1, error=f"Error processing document: {exc}")]
+        return [_page_row(1, error="unsupported payload")]
+
+    return pd.Series([one(k, b) for k, b in zip(kind, payload)], dtype="object")
+
+
+@pandas_udf(ArrayType(PAGE_STRUCT))
+def parse_pdf_pages_udf(payload: pd.Series) -> pd.Series:
+    """BINARY pdf payload → array of per-page layout IR structs
+    (standalone form of the pdf branch of stage_pages_udf)."""
+    return payload.map(
+        lambda blob: _parse_pdf_rows(bytes(blob)) if blob is not None
+        else [_page_row(1, error="null payload")]
+    )
+
+
+@pandas_udf(StringType())
+def linearize_anchor_udf(
+    url: pd.Series,
+    page: pd.Series,
+    mediabox: pd.Series,
+    elements: pd.Series,
+    budget: pd.Series,
+) -> pd.Series:
+    """Per-page anchor text (the flagship operator, ocr_utils.py:149-250)
+    with the seeded truncation convention rng = truncation_rng(url, page)."""
+
+    # Struct columns reach pandas UDFs as a pd.DataFrame (one column per
+    # field); null structs become all-NaN rows.
+    mb_rows = (
+        mediabox.to_dict("records") if isinstance(mediabox, pd.DataFrame) else mediabox
+    )
+    out = []
+    for u, p, mb, els, max_len in zip(url, page, mb_rows, elements, budget):
+        if mb is None or pd.isna(mb.get("x1")):
+            out.append(None)
+            continue
+        texts, images = [], []
+        for el in (els if els is not None else ()):
+            if el["e"] == "t":
+                texts.append(TextElement(el["text"], el["x"], el["y"]))
+            else:
+                images.append(
+                    ImageElement(el["name"], BoundingBox(el["x0"], el["y0"], el["x1"], el["y1"]))
+                )
+        report = PageReport(
+            mediabox=BoundingBox(mb["x0"], mb["y0"], mb["x1"], mb["y1"]),
+            text_elements=texts,
+            image_elements=images,
+        )
+        out.append(linearize_page(report, int(max_len), truncation_rng(u, int(p))))
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(StringType())
+def strip_html_udf(payload: pd.Series) -> pd.Series:
+    """BINARY html payload → boilerplate-stripped main-content text."""
+
+    def one(blob: Optional[bytes]) -> Optional[str]:
+        if blob is None:
+            return None
+        try:
+            return strip_html_boilerplate(bytes(blob))
+        except Exception:
+            return None
+
+    return payload.map(one)
+
+
+@pandas_udf(StringType())
+def parse_response_udf(raw: pd.Series) -> pd.Series:
+    """Model-response → final text (ocr_service.py:156-190)."""
+    return raw.map(parse_response_text)
+
+
+@pandas_udf(StringType())
+def markdown_flatten_udf(markdown: pd.Series) -> pd.Series:
+    """Markdown → plaintext (frontend/utils/markdownText.ts:1-37)."""
+    return markdown.map(lambda s: markdown_to_plain_text(s) if s is not None else None)
+
+
+@pandas_udf(StringType())
+def render_prompt_udf(task_type: pd.Series, anchor: pd.Series) -> pd.Series:
+    """Prompt template application (ocr_utils.py:401-465)."""
+    return pd.Series(
+        [render_prompt(t, a if a is not None else "") for t, a in zip(task_type, anchor)],
+        dtype="object",
+    )
+
+
+@pandas_udf(StringType())
+def cleanup_text_udf(text: pd.Series) -> pd.Series:
+    """Element-text cleanup (ocr_utils.py:266-276) exposed standalone."""
+    return text.map(lambda s: cleanup_element_text(s) if s is not None else None)

@@ -1,0 +1,127 @@
+"""The extraction pipeline as staged DataFrame transforms.
+
+Spark-native rendering of the reference lifecycle (SURVEY.md §3.4),
+arranged as a SINGLE lineage so the source is scanned exactly once:
+
+    read pages(url, warc_ts, html, text, lang)
+      → kind = sniff(html)                    [native magic-byte exprs]
+      → (optional) salted repartition by url  [shuffle 0 — input spread]
+      → stage-1 UDF: pdf→layout IR pages / html→stripped text / junk→
+        error row, routed INSIDE the Arrow batch   [one pass over blobs]
+      → posexplode page array → one row per (url, page)
+      → repartition(url, page)                [shuffle 1 — skew defusal:
+        a 1000-page document's pages fan out across all tasks; the page
+        number acts as the salt on the url hash]
+      → linearize anchor UDF (no-op for html/junk rows)
+      → groupBy(url) assembly                 [shuffle 2 — the reducer]
+
+Why not filter-per-kind branches + union: Catalyst pushes each branch's
+kind-filter beneath the repartition, producing three FileScans of the
+full BINARY column — a 3x read of the 100 TB input (observed via
+.explain; see tests/test_spark_pipeline.py::test_single_scan). Routing
+inside the batch keeps one scan and one Arrow exchange.
+
+Column discipline: the blob column is dropped at the explode boundary;
+the page-spread shuffle moves parsed IR (elements/stripped text), not
+raw payload bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import linearize_anchor_udf, sniff_kind_col, stage_pages_udf
+from ..plans.session import PipelineConfig
+
+PAGE_COLUMNS = ["url", "kind", "page", "anchor_text", "text", "success", "error"]
+
+
+def classify_pages(pages: DataFrame) -> DataFrame:
+    """Attach the payload-kind routing column (native expressions)."""
+    return pages.withColumn("kind", sniff_kind_col("html"))
+
+
+def extract_pages(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """pages table → page-level extraction frame
+    (url, kind, page, anchor_text, text, success, error)."""
+    spark = pages.sparkSession
+    n_spread = config.spread_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+    base = classify_pages(pages).select("url", "kind", "html")
+
+    if config.salt_buckets:
+        # Optional pre-parse spread for pathologically clustered inputs
+        # (e.g. one input file holding all giant documents). Costs a
+        # full shuffle of the raw blobs — the default relies on
+        # spark.sql.files.maxPartitionBytes for input balance and
+        # defuses skew after parsing, where rows are smaller.
+        salt = F.pmod(F.xxhash64("url"), F.lit(config.salt_buckets))
+        base = base.repartition(n_spread, F.xxhash64("url", salt))
+
+    staged = base.select(
+        "url",
+        "kind",
+        F.posexplode(stage_pages_udf("kind", "html")).alias("_pos", "pg"),
+    ).select("url", "kind", "pg.page", "pg.mediabox", "pg.elements", "pg.text", "pg.error")
+
+    return (
+        # shuffle: pages of one document spread across all tasks before
+        # the CPU-heavy linearize (merge + shuffle + sort per page).
+        staged.repartition(n_spread, "url", "page")
+        .withColumn(
+            "anchor_text",
+            linearize_anchor_udf(
+                "url", "page", "mediabox", "elements", F.lit(config.anchor_budget)
+            ),
+        )
+        .select(
+            "url",
+            "kind",
+            "page",
+            "anchor_text",
+            F.when(F.col("error").isNotNull(), F.lit(""))  # failed page rows
+            .when(F.col("kind") == "pdf", F.col("anchor_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.col("error").isNull().alias("success"),
+            "error",
+        )
+    )
+
+
+def assemble_documents(page_frame: DataFrame) -> DataFrame:
+    """Page-level frame → per-document rollup.
+
+    The reducer from the reference's document assembly: page texts
+    joined "\\n\\n" in page order (/root/reference/app.py:581), success
+    = all pages succeeded (bool_and ≡ the reference's all(),
+    /root/reference/backend/services/ocr_service.py:321), page_count =
+    page total (ocr_service.py:117-124). All JVM-side: sort_array over
+    (page, text) structs + transform + array_join — no Python in the
+    reduce path, and partial aggregation runs map-side.
+    """
+    ok_struct = F.when(
+        F.col("success") & F.col("text").isNotNull(), F.struct("page", "text")
+    )
+    return (
+        page_frame.groupBy("url")
+        .agg(
+            F.max("kind").alias("kind"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(ok_struct)), lambda s: s["text"]
+                ),
+                "\n\n",
+            ).alias("extracted_text"),
+            F.count("page").alias("page_count"),
+            F.expr("bool_and(success)").alias("success"),
+        )
+    )
+
+
+def extract_documents(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """End-to-end: pages table → per-document extracted text."""
+    return assemble_documents(extract_pages(pages, config))

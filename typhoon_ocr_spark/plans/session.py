@@ -1,0 +1,65 @@
+"""SparkSession builder with scale-oriented defaults.
+
+Tuned for the engine's workload profile (SURVEY.md §4.2): BINARY page
+payloads flowing through Arrow into pandas UDFs, two shuffles (salted
+spread + per-url assembly), AQE for runtime coalescing/skew handling.
+
+On a real cluster the same confs apply unchanged; only master/executor
+sizing comes from spark-submit (the engine never hardcodes cluster
+shape).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+# Arrow batches carry whole page payloads (MB-scale for the skew
+# cohort); bound records-per-batch so executor memory stays flat
+# (SURVEY.md §4.2 "Arrow batch sizing with BINARY payloads").
+ARROW_BLOB_BATCH = 64
+
+
+def build_session(
+    app_name: str = "typhoon-ocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BLOB_BATCH))
+        # one 128 MiB input split per task keeps blob rows per task bounded
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Engine parameters — the Spark analog of the reference Config
+    record (/root/reference/backend/services/ocr_service.py:30-42).
+    Broadcast to executors as plain literals in the plan."""
+
+    anchor_budget: int = 4000      # ocr_utils.py:391 library default
+    task_type: str = "default"
+    figure_language: str = "Thai"
+    spread_partitions: int | None = None  # None → spark.sql.shuffle.partitions
+    salt_buckets: int = 0          # extra salt for the pre-parse spread; 0=off

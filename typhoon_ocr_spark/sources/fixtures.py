@@ -1,0 +1,298 @@
+"""Deterministic fixture corpus: the `pages` input table + oracle-computed
+`expected` goldens (FIXTURES.md).
+
+Shape follows BASELINE.json's ``input_hint``:
+``pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+lang STRING)`` — a Common-Crawl-style table. ~70% HTML documents,
+~25% minimal PDFs, ~5% junk/truncated payloads, plus a skew cohort of
+giant multi-page PDFs (100-1000x the median payload) so the salted
+repartition path is actually exercised (SURVEY.md §7.3).
+
+All generation is seeded (seed=42 convention, matching /root/testdata);
+per-document randomness is keyed by (seed, doc_id) so any tier is
+reproducible row-by-row. Expected outputs are computed by the pure
+oracle (typhoon_ocr_spark.oracle.docpipe) — the byte-identical target.
+
+CLI: ``python -m typhoon_ocr_spark.sources.fixtures [--tier sf0.01] ...``
+writes /root/repo/data/pages_<tier>/{pages,expected_docs,expected_pages,
+prompt_cases}.parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from datetime import datetime, timedelta
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..oracle.docpipe import extract_document
+from ..oracle.linearize import DEFAULT_ANCHOR_BUDGET
+from ..oracle.pdfmini import MiniPdfWriter
+from ..oracle.prompts import render_prompt
+from ..oracle.respparse import parse_response_text
+
+SEED = 42
+DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
+
+TIERS = {
+    "sf0.001": {"docs": 200, "skew_every": 97, "skew_pages": 60, "expected": True},
+    "sf0.01": {"docs": 2000, "skew_every": 499, "skew_pages": 250, "expected": True},
+    "sf0.1": {"docs": 20000, "skew_every": 2499, "skew_pages": 400, "expected": False},
+}
+
+_EN_WORDS = (
+    "data spark engine page anchor document extract pipeline cluster shuffle "
+    "partition column vector batch arrow text layout table markdown content "
+    "stream budget element image merge sort filter scan join metric lineage"
+).split()
+_TH_WORDS = "ข้อมูล เอกสาร ระบบ ภาษา ไทย หน้า ตาราง เนื้อหา วิเคราะห์ ประมวลผล".split()
+
+
+def _words(rng: random.Random, n: int, lang: str) -> str:
+    pool = _TH_WORDS if lang == "th" else _EN_WORDS
+    return " ".join(rng.choice(pool) for _ in range(n))
+
+
+# --------------------------------------------------------------------------
+# HTML payloads (FIXTURES.md §1b)
+# --------------------------------------------------------------------------
+
+def _html_payload(rng: random.Random, doc_id: int, lang: str) -> bytes:
+    n_paras = rng.randint(2, 6)
+    paras = "".join(
+        f"<p>{_words(rng, rng.randint(12, 40), lang)}.</p>" for _ in range(n_paras)
+    )
+    link_farm = "".join(
+        f"<a href='/l{i}'>{_words(rng, 2, lang)}</a> " for i in range(rng.randint(4, 10))
+    )
+    table = ""
+    if rng.random() < 0.4:
+        rows = "".join(
+            f"<tr><td>{_words(rng, 2, lang)}</td><td>{rng.randint(0, 999)}</td></tr>"
+            for _ in range(rng.randint(2, 5))
+        )
+        table = f"<table><tr><th>item</th><th>qty</th></tr>{rows}</table>"
+    malformed = "<p>unclosed <b>bold" if rng.random() < 0.1 else ""
+    entities = "&amp; &lt;tag&gt; &#3652;&#3607;&#3618;" if rng.random() < 0.2 else ""
+    return (
+        "<!DOCTYPE html><html><head><title>doc {id}</title>"
+        "<script>window.track({id});</script><style>.x{{display:none}}</style></head>"
+        "<body>"
+        "<nav><a href='/'>Home</a> <a href='/about'>About</a> <a href='/c'>Contact</a></nav>"
+        "<header><div>Site header navigation chrome for document {id}</div></header>"
+        "<article><h1>{headline}</h1>{paras}{table}"
+        "<div>{entities} trailing sentence with enough characters to stay.</div>{malformed}</article>"
+        "<aside><div>{farm}</div></aside>"
+        "<footer><p>Footer legal boilerplate text that is dropped always.</p></footer>"
+        "</body></html>"
+    ).format(
+        id=doc_id,
+        headline=_words(rng, 4, lang).title(),
+        paras=paras,
+        table=table,
+        entities=entities,
+        malformed=malformed,
+        farm=link_farm,
+    ).encode("utf-8")
+
+
+# --------------------------------------------------------------------------
+# PDF payloads (FIXTURES.md §1a) — hand-built via MiniPdfWriter
+# --------------------------------------------------------------------------
+
+_MEDIABOXES = [(0, 0, 612, 792), (0, 0, 400, 600), (-50, -100, 562, 692)]
+
+
+def _pdf_payload(rng: random.Random, doc_id: int, lang: str, n_pages: int) -> bytes:
+    w = MiniPdfWriter()
+    for p in range(n_pages):
+        w.add_page(mediabox=_MEDIABOXES[rng.randrange(len(_MEDIABOXES)) if rng.random() < 0.3 else 0])
+        style = rng.random()
+        base_y = 700
+        n_runs = rng.randint(2, 8)
+        if style < 0.08:
+            pass  # empty page
+        elif style < 0.16:
+            # whitespace-only runs plus one real (filter path)
+            w.text(72, base_y, "   ")
+            w.text(72, base_y - 20, f"real run p{p + 1} {_words(rng, 4, lang)}")
+        elif style < 0.24:
+            # over-budget page: many runs → truncation + seeded shuffle
+            for i in range(120):
+                w.text(30 + (i % 10) * 55, 740 - (i // 10) * 55,
+                       f"cell{i} {_words(rng, 3, lang)}")
+        elif style < 0.32:
+            # escaping + >250-char element + mojibake cohort
+            w.text(72, base_y, "bracket [test] and\ttab")
+            long_text = "long " + " ".join(f"w{i}" for i in range(80))
+            w.text(72, base_y - 20, long_text)
+            mojibake = "café naïve".encode("utf-8").decode("latin-1")
+            w.text(72, base_y - 40, f"fix {mojibake} me")
+        elif style < 0.42:
+            # images: two overlapping + one disjoint (merge path)
+            w.image("Im1", 50, 60, 100, 110)
+            w.image("Im2", 100.3, 60, 150, 160)
+            w.image("Im3", 300, 500, 350, 560)
+            w.text(72, 200, f"caption {_words(rng, 3, lang)}")
+        elif style < 0.52:
+            # TJ / T* / Tm operator coverage, out-of-reading-order stream
+            w.text_tj(80, 300, [f"split{p}", " joined"])
+            w.text_lines(90, 680, 16, [f"l1 {_words(rng, 2, lang)}", f"l2 {_words(rng, 2, lang)}"])
+            w.text(100, 100, "low line first in stream", mode="Tm")
+            w.text(100, 500, "high line later in stream", mode="Tm")
+        else:
+            for i in range(n_runs):
+                w.text(72, base_y - 18 * i, f"p{p + 1}r{i} {_words(rng, rng.randint(3, 9), lang)}")
+    return w.build()
+
+
+def _junk_payload(rng: random.Random) -> bytes:
+    body = rng.randbytes(rng.randint(16, 256))
+    # ensure it can't sniff as html/pdf
+    return b"\x00\xff" + body
+
+
+# --------------------------------------------------------------------------
+# Corpus generation
+# --------------------------------------------------------------------------
+
+def generate_pages(n_docs: int, skew_every: int, skew_pages: int) -> Dict[str, list]:
+    urls: List[str] = []
+    tss: List[datetime] = []
+    payloads: List[bytes] = []
+    pre_texts: List[Optional[str]] = []
+    langs: List[str] = []
+    t0 = datetime(2025, 1, 1)
+    step = timedelta(seconds=(365 * 24 * 3600) // max(n_docs, 1))
+
+    for doc_id in range(n_docs):
+        rng = random.Random(f"{SEED}:{doc_id}")
+        lang = "th" if rng.random() < 0.25 else "en"
+        host = f"example-{rng.randrange(16 ** 4):04x}.test"
+        url = f"https://{host}/{doc_id:08d}"
+        roll = rng.random()
+        if doc_id % skew_every == skew_every - 1:
+            payload = _pdf_payload(rng, doc_id, lang, skew_pages)  # skew cohort
+        elif roll < 0.70:
+            payload = _html_payload(rng, doc_id, lang)
+        elif roll < 0.95:
+            payload = _pdf_payload(rng, doc_id, lang, rng.randint(1, 6))
+        else:
+            payload = _junk_payload(rng)
+        urls.append(url)
+        tss.append(t0 + step * doc_id)
+        payloads.append(payload)
+        pre_texts.append(_words(rng, 8, lang) if rng.random() < 0.3 else None)
+        langs.append(lang)
+
+    return {"url": urls, "warc_ts": tss, "html": payloads, "text": pre_texts, "lang": langs}
+
+
+_PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def compute_expected(pages: Dict[str, list]) -> tuple:
+    doc_rows = {k: [] for k in ("url", "kind", "extracted_text", "page_count", "success")}
+    page_rows = {k: [] for k in ("url", "page", "kind", "anchor_text", "text", "success", "error")}
+    for url, payload in zip(pages["url"], pages["html"]):
+        doc = extract_document(url, payload, anchor_budget=DEFAULT_ANCHOR_BUDGET)
+        doc_rows["url"].append(doc.url)
+        doc_rows["kind"].append(doc.kind)
+        doc_rows["extracted_text"].append(doc.extracted_text)
+        doc_rows["page_count"].append(doc.page_count)
+        doc_rows["success"].append(doc.success)
+        for p in doc.pages:
+            page_rows["url"].append(url)
+            page_rows["page"].append(p.page)
+            page_rows["kind"].append(doc.kind)
+            page_rows["anchor_text"].append(p.anchor_text)
+            page_rows["text"].append(p.text)
+            page_rows["success"].append(p.success)
+            page_rows["error"].append(p.error)
+    return doc_rows, page_rows
+
+
+def prompt_cases() -> Dict[str, list]:
+    """Prompt/response parsing fixture table (FIXTURES.md §3)."""
+    anchors = ["Page dimensions: 612.0x792.0\n[72x700]Hello\n", ""]
+    cases = []
+    for task in ("default", "structure", "v1.5", "invalid_name"):
+        for anchor in anchors:
+            cases.append((task, anchor, render_prompt(task, anchor)))
+    responses = [
+        '{"natural_text": "plain json body"}',
+        'pre\n```json\n{"natural_text": "fenced body"}\n```\npost',
+        "raw markdown **only**",
+        "keep <figure>figure text</figure> around",
+        '{"natural_text": unparseable',
+        "",
+    ]
+    out = {k: [] for k in ("case_id", "task_type", "anchor_text", "rendered_prompt",
+                           "raw_response", "expected_parsed")}
+    i = 0
+    for task, anchor, prompt in cases:
+        for resp in responses:
+            out["case_id"].append(i)
+            out["task_type"].append(task)
+            out["anchor_text"].append(anchor)
+            out["rendered_prompt"].append(prompt)
+            out["raw_response"].append(resp)
+            out["expected_parsed"].append(parse_response_text(resp))
+            i += 1
+    return out
+
+
+def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
+    cfg = TIERS[tier]
+    out_dir = os.path.join(out_root, f"pages_{tier}")
+    os.makedirs(out_dir, exist_ok=True)
+    pages = generate_pages(cfg["docs"], cfg["skew_every"], cfg["skew_pages"])
+    pq.write_table(
+        pa.table(pages, schema=_PAGES_SCHEMA),
+        os.path.join(out_dir, "pages.parquet"),
+        row_group_size=512,
+    )
+    if cfg["expected"]:
+        docs, per_page = compute_expected(pages)
+        pq.write_table(pa.table(docs), os.path.join(out_dir, "expected_docs.parquet"))
+        pq.write_table(pa.table(per_page), os.path.join(out_dir, "expected_pages.parquet"))
+    pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
+    return out_dir
+
+
+def tier_dir_for_sf(sf_dir: str, out_root: str = DATA_ROOT) -> str:
+    """Map a driver sf dir (/root/testdata/sf0.01) to our fixture dir,
+    generating it on first use."""
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    if tier not in TIERS:
+        tier = "sf0.01"
+    out_dir = os.path.join(out_root, f"pages_{tier}")
+    if not os.path.exists(os.path.join(out_dir, "pages.parquet")):
+        write_tier(tier, out_root)
+    return out_dir
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tier", choices=sorted(TIERS), action="append")
+    parser.add_argument("--out", default=DATA_ROOT)
+    args = parser.parse_args()
+    for tier in args.tier or sorted(TIERS):
+        path = write_tier(tier, args.out)
+        print(f"wrote {tier} -> {path}")
+
+
+if __name__ == "__main__":
+    main()
