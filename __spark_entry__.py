@@ -1,38 +1,353 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship extraction pipeline on the smoke-tier
+fixture corpus. `queries()` exposes every implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline operators) as
+(spark, sf_dir) -> DataFrame callables; `oracle_sql()` provides the
+DuckDB twin for each. Extraction-parity oracles read the
+oracle-precomputed expected tables under /root/repo/data/pages_sf0.01
+(regenerated deterministically by typhoon_ocr_spark.sources.fixtures
+if missing); corpus/relational oracles run on the driver's
+pre-registered testdata views.
+
+Cross-engine determinism rules (see typhoon_ocr_spark/functions/
+textsql.py): md5 hex strings for hashes, lexicographic minima,
+ratios as rounded per-mille BIGINTs, epochs instead of timestamps,
+ties broken by id columns.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from typhoon_ocr_spark.functions.textsql import (
+    ANN_QUERY_EVERY,
+    ANN_TOP_K,
+    BPE_TOKEN_PATTERN,
+    FINGERPRINT_NGRAM,
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    PUNCT_CLASS,
+    SIMHASH_BITS,
+    SIMHASH_HEX_HIGH,
+    STOPWORDS,
+    THAI_NEGATED_CLASS,
+    duck_minhash_sig,
+    duck_shingles,
+    duck_word_tokens,
+)
+from typhoon_ocr_spark.functions.udfs import parse_response_udf, render_prompt_udf
+from typhoon_ocr_spark.operators import dedup, relational, similarity, textstats
+from typhoon_ocr_spark.operators.extract import (
+    classify_pages,
+    extract_documents,
+    extract_pages,
+)
+from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+# The driver's correctness harness runs at sf=0.01; oracle SQL is
+# static text, so it pins that tier's fixture dir.
+_FIX01 = os.path.join(_REPO, "data", "pages_sf0.01")
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(tier_dir_for_sf(sf_dir), "pages.parquet"))
+
+
+def _fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(tier_dir_for_sf(sf_dir), f"{name}.parquet"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline on the smoke-tier corpus."""
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return extract_documents(pages)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- extraction pipeline parity (engine vs precomputed oracle) ---
+    q["extract_docs"] = lambda spark, sf: extract_documents(_pages(spark, sf)).select(
+        "url", "kind", "extracted_text", F.col("page_count").cast("long").alias("page_count"), "success"
+    )
+    q["extract_pdf_anchors"] = lambda spark, sf: (
+        extract_pages(_pages(spark, sf))
+        .filter((F.col("kind") == "pdf") & F.col("success"))
+        .select("url", F.col("page").cast("long").alias("page"), "anchor_text")
+    )
+    q["extract_html_text"] = lambda spark, sf: (
+        extract_pages(_pages(spark, sf))
+        .filter(F.col("kind") == "html")
+        .select("url", F.col("text").alias("extracted_text"))
+    )
+    q["kind_routing"] = lambda spark, sf: classify_pages(_pages(spark, sf)).select(
+        "url", "kind"
+    )
+    q["prompt_render"] = lambda spark, sf: _fixture(spark, sf, "prompt_cases").select(
+        F.col("case_id").cast("long").alias("case_id"),
+        render_prompt_udf("task_type", "anchor_text").alias("prompt"),
+    )
+    q["response_parse"] = lambda spark, sf: _fixture(spark, sf, "prompt_cases").select(
+        F.col("case_id").cast("long").alias("case_id"),
+        parse_response_udf("raw_response").alias("parsed"),
+    )
+
+    # --- dedup / similarity / text analysis (documents, embeddings) ---
+    q["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(_t(spark, sf, "documents"))
+    q["minhash_bands"] = lambda spark, sf: dedup.minhash_bands(_t(spark, sf, "documents")).select(
+        "doc_id", F.col("band").cast("long").alias("band"), "band_hash"
+    )
+    q["minhash_pairs"] = lambda spark, sf: dedup.minhash_candidate_pairs(
+        _t(spark, sf, "documents")
+    )
+    q["simhash"] = lambda spark, sf: dedup.simhash_fingerprints(_t(spark, sf, "documents"))
+    q["jaccard_pairs"] = lambda spark, sf: dedup.jaccard_pairs(_t(spark, sf, "documents"))
+    q["lang_id"] = lambda spark, sf: textstats.language_id(_t(spark, sf, "documents"))
+    q["quality_scores"] = lambda spark, sf: textstats.quality_scores(_t(spark, sf, "documents"))
+    q["token_counts"] = lambda spark, sf: textstats.token_counts(_t(spark, sf, "documents"))
+    q["fingerprints"] = lambda spark, sf: textstats.fingerprints(_t(spark, sf, "documents"))
+    q["ann_topk"] = lambda spark, sf: similarity.cosine_topk(_t(spark, sf, "embeddings"))
+    # scale-path ANN bucketing: no SQL oracle (rows-only check)
+    q["ann_lsh_buckets"] = lambda spark, sf: similarity.lsh_sign_buckets(
+        _t(spark, sf, "embeddings")
+    )
+
+    # --- relational skeleton (SURVEY §2.7) ---
+    q["token_rollup"] = lambda spark, sf: relational.token_rollup(_t(spark, sf, "events"))
+    q["page_explode"] = lambda spark, sf: relational.page_explode(_t(spark, sf, "documents"))
+    q["page_range_filter"] = lambda spark, sf: relational.page_range_filter(
+        _t(spark, sf, "documents")
+    )
+    q["ordered_assembly"] = lambda spark, sf: relational.ordered_assembly(
+        _t(spark, sf, "documents")
+    )
+    q["top_price_per_flag"] = lambda spark, sf: relational.top_price_per_flag(
+        _t(spark, sf, "lineitem")
+    )
+    q["pricing_rollup"] = lambda spark, sf: relational.pricing_rollup(
+        _t(spark, sf, "lineitem")
+    )
+    q["orders_by_segment"] = lambda spark, sf: relational.orders_by_segment(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
+    q["events_hourly"] = lambda spark, sf: relational.events_hourly(_t(spark, sf, "events"))
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+def _duck_corpus_cte() -> str:
+    toks = duck_word_tokens("text")
+    return f"WITH d AS (SELECT doc_id, text, lang, source, {toks} AS toks FROM documents)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fx = _FIX01.replace("'", "''")
+    toks = duck_word_tokens("text")
+    sh = duck_shingles("toks")
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+
+    sql: dict[str, str] = {}
+
+    sql["extract_docs"] = (
+        f"SELECT url, kind, extracted_text, CAST(page_count AS BIGINT) AS page_count, "
+        f"success FROM read_parquet('{fx}/expected_docs.parquet')"
+    )
+    sql["extract_pdf_anchors"] = (
+        f"SELECT url, CAST(page AS BIGINT) AS page, anchor_text "
+        f"FROM read_parquet('{fx}/expected_pages.parquet') "
+        f"WHERE kind = 'pdf' AND success"
+    )
+    sql["extract_html_text"] = (
+        f"SELECT url, text AS extracted_text "
+        f"FROM read_parquet('{fx}/expected_pages.parquet') WHERE kind = 'html'"
+    )
+    sql["kind_routing"] = (
+        f"SELECT url, kind FROM read_parquet('{fx}/expected_docs.parquet')"
+    )
+    sql["prompt_render"] = (
+        f"SELECT CAST(case_id AS BIGINT) AS case_id, rendered_prompt AS prompt "
+        f"FROM read_parquet('{fx}/prompt_cases.parquet')"
+    )
+    sql["response_parse"] = (
+        f"SELECT CAST(case_id AS BIGINT) AS case_id, expected_parsed AS parsed "
+        f"FROM read_parquet('{fx}/prompt_cases.parquet')"
+    )
+
+    sql["dedup_exact"] = (
+        "SELECT md5(text) AS text_md5, CAST(count(doc_id) AS BIGINT) AS dup_count, "
+        "min(doc_id) AS keeper_id FROM documents GROUP BY md5(text)"
+    )
+
+    sig_exprs = ", ".join(
+        f"{duck_minhash_sig('sh', p)} AS sig_{p}" for p in range(MINHASH_PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, CAST({b} AS BIGINT) AS band, md5({expr}) AS band_hash FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    minhash_cte = (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {sh} AS sh FROM t), "
+        f"sigs AS (SELECT doc_id, {sig_exprs} FROM s WHERE len(sh) > 0), "
+        f"bands AS ({band_rows})"
+    )
+    sql["minhash_bands"] = f"{minhash_cte} SELECT doc_id, band, band_hash FROM bands"
+    sql["minhash_pairs"] = (
+        f"{minhash_cte} SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash "
+        "AND l.doc_id < r.doc_id"
+    )
+
+    bit_exprs = " || ".join(
+        "(CASE WHEN coalesce(list_sum(list_transform(hs, x -> "
+        f"CASE WHEN instr('{SIMHASH_HEX_HIGH}', substring(x, {j}, 1)) > 0 "
+        "THEN 1 ELSE -1 END)), 0) >= 0 THEN '1' ELSE '0' END)"
+        for j in range(1, SIMHASH_BITS + 1)
+    )
+    sql["simhash"] = (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t) "
+        f"SELECT doc_id, {bit_exprs} AS simhash, CAST(len(hs) AS BIGINT) AS n_tokens FROM h"
+    )
+
+    sql["jaccard_pairs"] = (
+        f"{minhash_cte}, "
+        "pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        " FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash "
+        " AND l.doc_id < r.doc_id), "
+        "sets AS (SELECT doc_id, list_distinct(sh) AS shset FROM s WHERE len(sh) > 0) "
+        "SELECT p.doc_a, p.doc_b, CAST(round(100.0 * "
+        "len(list_intersect(a.shset, b.shset)) / "
+        "(len(a.shset) + len(b.shset) - len(list_intersect(a.shset, b.shset)))) AS BIGINT) "
+        "AS jaccard_pct FROM pairs p "
+        "JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id"
+    )
+
+    sql["lang_id"] = (
+        "SELECT doc_id, CAST(round(1000.0 * "
+        f"length(regexp_replace(text, '{THAI_NEGATED_CLASS}', '', 'g')) / "
+        "greatest(length(text), 1)) AS BIGINT) AS thai_per_mille, "
+        "CASE WHEN CAST(round(1000.0 * "
+        f"length(regexp_replace(text, '{THAI_NEGATED_CLASS}', '', 'g')) / "
+        "greatest(length(text), 1)) AS BIGINT) >= 100 THEN 'th' ELSE 'en' END AS pred_lang "
+        "FROM documents"
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    sql["quality_scores"] = (
+        f"WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents), "
+        "m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        " CAST(len(toks) AS BIGINT) AS n_tokens, "
+        f" length(text) - length(regexp_replace(text, '{PUNCT_CLASS}', '', 'g')) AS punct, "
+        " length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits, "
+        f" CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS BIGINT) AS stops "
+        " FROM t) "
+        "SELECT doc_id, n_chars, n_tokens, "
+        "CAST(round(1000.0 * punct / greatest(n_chars, 1)) AS BIGINT) AS punct_per_mille, "
+        "CAST(round(1000.0 * digits / greatest(n_chars, 1)) AS BIGINT) AS digit_per_mille, "
+        "CAST(round(1000.0 * stops / greatest(n_tokens, 1)) AS BIGINT) AS stop_per_mille, "
+        "(n_tokens >= 5 AND round(1000.0 * punct / greatest(n_chars, 1)) <= 300 "
+        " AND round(1000.0 * digits / greatest(n_chars, 1)) <= 500) AS keep FROM m"
+    )
+
+    # NB: \s must survive into the RE2 pattern — duckdb strings keep
+    # backslashes literal, so the Python source escapes only once.
+    sql["token_counts"] = (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) "
+        "AS ws_tokens, "
+        f"CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS bpe_tokens "
+        "FROM documents"
+    )
+
+    k = FINGERPRINT_NGRAM
+    sql["fingerprints"] = (
+        "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents), "
+        "g AS (SELECT doc_id, CASE WHEN length(lt) >= {k} THEN "
+        " list_transform(generate_series(1, length(lt) - {k1}), i -> md5(substring(lt, i, {k}))) "
+        " ELSE [md5(lt)] END AS grams FROM t) "
+        "SELECT doc_id, list_min(grams) AS fingerprint, "
+        "CAST(len(grams) AS BIGINT) AS n_grams FROM g"
+    ).format(k=k, k1=k - 1)
+
+    sql["ann_topk"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
+        f"q AS (SELECT * FROM n WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        " list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS score "
+        " FROM q JOIN n c ON c.vec_id <> q.vec_id), "
+        "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER "
+        " (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM s) "
+        f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
+    )
+
+    sql["token_rollup"] = (
+        "SELECT user_id, round(sum(value), 2) AS total_value, "
+        "CAST(count(*) AS BIGINT) AS n_events, bool_and(value > 0) AS all_positive "
+        "FROM events GROUP BY user_id"
+    )
+    sql["page_explode"] = (
+        "SELECT doc_id, CAST(unnest(generate_series(1, doc_id % 5 + 1)) AS BIGINT) AS page "
+        "FROM documents"
+    )
+    sql["page_range_filter"] = (
+        "SELECT doc_id, CAST(p.page AS BIGINT) AS page FROM documents, "
+        "LATERAL (SELECT unnest(generate_series(1, doc_id % 7 + 1)) AS page) p "
+        "WHERE p.page IN (1, 2, 3, 5)"
+    )
+    sql["ordered_assembly"] = (
+        "SELECT lang, source, string_agg(CAST(doc_id AS VARCHAR), ',' "
+        "ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang, source"
+    )
+    sql["top_price_per_flag"] = (
+        "WITH r AS (SELECT l_returnflag, l_orderkey, l_extendedprice, "
+        "row_number() OVER (PARTITION BY l_returnflag "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) "
+        "SELECT l_returnflag, l_orderkey, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS top_price_cents FROM r WHERE rn = 1"
+    )
+    sql["pricing_rollup"] = (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "CAST(count(*) AS BIGINT) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    sql["orders_by_segment"] = (
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    )
+    sql["events_hourly"] = (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, "
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    return sql

@@ -1,0 +1,185 @@
+"""Deduplication operators over a document corpus.
+
+Beyond the reference's own surface (it has none — single-corpus OCR),
+these are the training-data-pipeline operators a 100 TB crawl needs:
+exact dedup, MinHash+LSH near-dup candidates, SimHash fingerprints,
+n-gram Jaccard verification. Each has a DuckDB-oracle twin in
+__spark_entry__ built from the same constants
+(functions/textsql.py) so Spark and oracle cannot drift.
+
+Scale notes:
+- exact dedup is a hash groupBy — one shuffle on a 32-char key, with
+  map-side partial aggregation;
+- minhash signatures are computed per-row (no shuffle) from word
+  shingles; candidate pairs are a self-equi-join on (band, band_hash)
+  — the classic banding trick keeps the join fan-out tiny vs a full
+  cross join;
+- all hashes are md5 hex strings and minima are lexicographic, chosen
+  for engine-portability (no 64-bit int conversions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textsql import (
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    SHINGLE_WORDS,
+    SIMHASH_BITS,
+    SIMHASH_HEX_HIGH,
+    WORD_SPLIT_PATTERN,
+)
+
+
+def word_tokens(col: Column) -> Column:
+    """Lowercase alnum word tokens, empties dropped."""
+    return F.filter(
+        F.split(F.lower(col), WORD_SPLIT_PATTERN), lambda x: x != F.lit("")
+    )
+
+
+def word_shingles(tokens: Column) -> Column:
+    """3-word shingles (1-based element_at, mirroring the DuckDB twin).
+    Fewer than 3 tokens → empty array (note: sequence() would count
+    DOWN for stop<start, hence the explicit guard)."""
+    k = SHINGLE_WORDS
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(tokens) >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(text); keeper = min doc_id.
+    Output: (text_md5, dup_count, keeper_id)."""
+    return (
+        documents.select(
+            F.md5(F.col(text_col)).alias("text_md5"), F.col("doc_id")
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.count("doc_id").cast("long").alias("dup_count"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document MinHash signature: for each of MINHASH_PERMS
+    permutations, min over shingles of md5(shingle + '#perm').
+    Documents with <SHINGLE_WORDS tokens are excluded.
+    Output: (doc_id, sig_0..sig_{P-1})."""
+    toks = word_tokens(F.col(text_col))
+    df = documents.select("doc_id", word_shingles(toks).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    def sig(p: int):
+        # closure factory: a default-arg lambda would read as 2-arg to
+        # PySpark's arity inspection and receive the array index
+        def hash_shingle(x):
+            return F.md5(F.concat(x, F.lit(f"#{p}")))
+
+        return F.array_min(F.transform(F.col("sh"), hash_shingle)).alias(f"sig_{p}")
+
+    return df.select("doc_id", *[sig(p) for p in range(MINHASH_PERMS)])
+
+
+def minhash_bands(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH banding: hash each band of MINHASH_PERMS/MINHASH_BANDS
+    consecutive signature rows. Output: (doc_id, band, band_hash)."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    sigs = minhash_signatures(documents, text_col)
+    bands = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bd")
+    ).select("doc_id", "bd.band", "bd.band_hash")
+
+
+def minhash_candidate_pairs(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-dup candidates: distinct doc pairs sharing any LSH band
+    bucket. The equi-join on (band, band_hash) is the scale path — at
+    10^12 docs the band hash spreads uniformly, and AQE handles the
+    residual bucket skew. Output: (doc_a, doc_b), doc_a < doc_b."""
+    bands = minhash_bands(documents, text_col)
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash as a bit-string: for bit j, tokens vote +1 when
+    the j-th hex digit of md5(token) has its top bit set ('89abcdef'),
+    else -1; bit = 1 iff the vote sum is >= 0.
+    Output: (doc_id, simhash STRING of '0'/'1', n_tokens)."""
+    toks = word_tokens(F.col(text_col))
+    df = documents.select(
+        "doc_id",
+        F.transform(toks, lambda x: F.md5(x)).alias("hs"),
+    )
+    def vote_at(j: int):
+        # closure factory: PySpark infers lambda arity from the
+        # signature, so the bit index can't ride along as a default arg
+        def merge(acc, h):
+            return acc + F.when(
+                F.instr(F.lit(SIMHASH_HEX_HIGH), F.substring(h, j, 1)) > 0, 1
+            ).otherwise(-1)
+
+        return F.aggregate(F.col("hs"), F.lit(0), merge)
+
+    bits = []
+    for j in range(1, SIMHASH_BITS + 1):
+        vote = vote_at(j)
+        bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        "doc_id",
+        F.concat(*bits).alias("simhash"),
+        F.size("hs").cast("long").alias("n_tokens"),
+    )
+
+
+def jaccard_pairs(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact 3-word-shingle Jaccard for MinHash candidate pairs
+    (verification stage of the near-dup pipeline). Output:
+    (doc_a, doc_b, jaccard_pct BIGINT 0..100)."""
+    toks = word_tokens(F.col(text_col))
+    sets_df = documents.select(
+        "doc_id", F.array_distinct(word_shingles(toks)).alias("shset")
+    ).filter(F.size("shset") > 0)
+    pairs = minhash_candidate_pairs(documents, text_col)
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset")))
+    union = F.size(F.array_union(F.col("a.shset"), F.col("b.shset")))
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
+        .join(b, pairs.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.lit(100.0) * inter / union).cast("long").alias("jaccard_pct"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the sign-LSH bucketed
+variant is the scale path (bucket first, search within buckets — turns
+the O(N·Q) score matrix into per-bucket joins).
+
+Scale notes:
+- the query set is small by construction (vec_id % ANN_QUERY_EVERY == 0)
+  → broadcast it; the candidate side streams, so the scoring stage is a
+  map-only broadcast-nested-loop, no shuffle of the big side;
+- norms are precomputed once per vector;
+- dot products run as JVM higher-order functions (zip_with +
+  aggregate), not Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textsql import ANN_QUERY_EVERY, ANN_TOP_K
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _with_norm(embeddings: DataFrame) -> DataFrame:
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return embeddings.select(
+        "vec_id", e.alias("e")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_every: int = ANN_QUERY_EVERY,
+    k: int = ANN_TOP_K,
+) -> DataFrame:
+    """Exact brute-force cosine top-k for the query cohort
+    (vec_id % query_every == 0), ties broken by neighbor_id.
+    Output: (query_id, rank, neighbor_id)."""
+    base = _with_norm(embeddings)
+    queries = base.filter(F.col("vec_id") % query_every == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Sign-LSH bucket per vector: bit j = sign of the projection onto a
+    deterministic ±1 hyperplane (plane j keeps dimension i with sign +1
+    iff md5("{i}|{j}") starts with hex digit 0-7). Bucket-join variant
+    of ANN: at 10^12 vectors, equal buckets become the join key and
+    brute force runs only within buckets.
+    Output: (vec_id, bucket STRING of '0'/'1')."""
+    import hashlib
+
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = embeddings.select("vec_id", e.alias("e"))
+    n_dims = df.select(F.size("e").alias("n")).first()["n"]
+
+    bits = []
+    for j in range(n_planes):
+        signs = [
+            1.0 if hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0] < "8" else -1.0
+            for i in range(n_dims)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select("vec_id", F.concat(*bits).alias("bucket"))
