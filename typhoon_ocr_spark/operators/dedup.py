@@ -75,18 +75,21 @@ def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     Documents with <SHINGLE_WORDS tokens are excluded.
     Output: (doc_id, sig_0..sig_{P-1})."""
     toks = word_tokens(F.col(text_col))
-    df = documents.select("doc_id", word_shingles(toks).alias("sh")).filter(
-        F.size("sh") > 0
+    exploded = documents.select(
+        "doc_id", F.explode(word_shingles(toks)).alias("sh")
     )
+
+    # Shape note: explode(shingles) → groupBy(doc_id).agg(min × P),
+    # not array_min(transform(...)) × P — Catalyst's projection
+    # collapse inlines the token/shingle expressions into every sig in
+    # the nested form (observed ~60 s of planning/codegen at bench
+    # scale), while the explode form computes shingles once per row,
+    # runs the P minima as map-side partial aggregates, and lets the
+    # LSH self-join reuse one exchange for both sides.
     def sig(p: int):
-        # closure factory: a default-arg lambda would read as 2-arg to
-        # PySpark's arity inspection and receive the array index
-        def hash_shingle(x):
-            return F.md5(F.concat(x, F.lit(f"#{p}")))
+        return F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{p}")))).alias(f"sig_{p}")
 
-        return F.array_min(F.transform(F.col("sh"), hash_shingle)).alias(f"sig_{p}")
-
-    return df.select("doc_id", *[sig(p) for p in range(MINHASH_PERMS)])
+    return exploded.groupBy("doc_id").agg(*[sig(p) for p in range(MINHASH_PERMS)])
 
 
 def minhash_bands(documents: DataFrame, text_col: str = "text") -> DataFrame:

@@ -39,9 +39,15 @@ SEED = 42
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
-    "sf0.001": {"docs": 200, "skew_every": 97, "skew_pages": 60, "expected": True},
-    "sf0.01": {"docs": 2000, "skew_every": 499, "skew_pages": 250, "expected": True},
-    "sf0.1": {"docs": 20000, "skew_every": 2499, "skew_pages": 400, "expected": False},
+    "sf0.001": {"docs": 200, "skew_every": 97, "skew_pages": 60, "expected": True, "shards": 1},
+    "sf0.01": {"docs": 2000, "skew_every": 499, "skew_pages": 250, "expected": True, "shards": 1},
+    # bench tier: sharded so the Spark scan parallelizes; no expected
+    # tables (the byte-identical gate runs at the correctness tiers)
+    "sf0.1": {"docs": 20000, "skew_every": 2499, "skew_pages": 400, "expected": False, "shards": 64},
+    # scaling-probe tier: large enough that fixed overheads (session,
+    # worker spawn, scheduling) amortize and the N-vs-4N comparison
+    # measures throughput, not startup
+    "scaling": {"docs": 240000, "skew_every": 9973, "skew_pages": 400, "expected": False, "shards": 256},
 }
 
 _EN_WORDS = (
@@ -259,11 +265,23 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
     out_dir = os.path.join(out_root, f"pages_{tier}")
     os.makedirs(out_dir, exist_ok=True)
     pages = generate_pages(cfg["docs"], cfg["skew_every"], cfg["skew_pages"])
-    pq.write_table(
-        pa.table(pages, schema=_PAGES_SCHEMA),
-        os.path.join(out_dir, "pages.parquet"),
-        row_group_size=512,
-    )
+    table = pa.table(pages, schema=_PAGES_SCHEMA)
+    shards = cfg.get("shards", 1)
+    if shards == 1:
+        pq.write_table(table, os.path.join(out_dir, "pages.parquet"), row_group_size=512)
+    else:
+        shard_dir = os.path.join(out_dir, "pages.parquet")
+        os.makedirs(shard_dir, exist_ok=True)
+        n = table.num_rows
+        step = (n + shards - 1) // shards
+        for s in range(shards):
+            chunk = table.slice(s * step, step)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk,
+                    os.path.join(shard_dir, f"part-{s:05d}.parquet"),
+                    row_group_size=512,
+                )
     if cfg["expected"]:
         docs, per_page = compute_expected(pages)
         pq.write_table(pa.table(docs), os.path.join(out_dir, "expected_docs.parquet"))
