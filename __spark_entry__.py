@@ -40,8 +40,19 @@ from typhoon_ocr_spark.functions.textsql import (
     duck_shingles,
     duck_word_tokens,
 )
-from typhoon_ocr_spark.functions.udfs import parse_response_udf, render_prompt_udf
-from typhoon_ocr_spark.operators import dedup, relational, similarity, textstats
+from typhoon_ocr_spark.functions.udfs import (
+    is_base64_udf,
+    markdown_flatten_udf,
+    parse_response_udf,
+    render_prompt_udf,
+)
+from typhoon_ocr_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+)
 from typhoon_ocr_spark.operators.extract import (
     classify_pages,
     extract_documents,
@@ -107,6 +118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         F.col("case_id").cast("long").alias("case_id"),
         parse_response_udf("raw_response").alias("parsed"),
     )
+    q["markdown_flatten"] = lambda spark, sf: _fixture(spark, sf, "markdown_cases").select(
+        F.col("case_id").cast("long").alias("case_id"),
+        markdown_flatten_udf("markdown").alias("plain"),
+    )
+    q["base64_validity"] = lambda spark, sf: _fixture(spark, sf, "base64_cases").select(
+        F.col("case_id").cast("long").alias("case_id"),
+        is_base64_udf("input_string").alias("valid"),
+    )
 
     # --- dedup / similarity / text analysis (documents, embeddings) ---
     q["dedup_exact"] = lambda spark, sf: dedup.exact_dup_groups(_t(spark, sf, "documents"))
@@ -147,6 +166,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
     )
     q["events_hourly"] = lambda spark, sf: relational.events_hourly(_t(spark, sf, "events"))
+    q["sessionize"] = lambda spark, sf: relational.sessionize(_t(spark, sf, "events"))
+
+    # --- multimodal plumbing (opaque binary + typed metadata) ---
+    def media_resize(spark, sf):
+        media = multimodal.media_from_documents(_t(spark, sf, "documents"))
+        new_w, new_h = multimodal.resize_dims(F.col("width"), F.col("height"))
+        return media.select(
+            "media_id",
+            "kind",
+            new_w.cast("long").alias("new_width"),
+            new_h.cast("long").alias("new_height"),
+            F.floor(multimodal.render_dpi(F.col("width"), F.col("height")) * 100)
+            .cast("long")
+            .alias("centi_dpi"),
+            F.size(multimodal.frame_sample_indices(F.col("duration_ms")))
+            .cast("long")
+            .alias("n_frames"),
+        )
+
+    q["media_resize"] = media_resize
+    q["media_features"] = lambda spark, sf: multimodal.extract_media_features(
+        multimodal.media_from_documents(_t(spark, sf, "documents"))
+    ).select("media_id", "payload_sha", "n_bytes")
     return q
 
 
@@ -190,6 +232,14 @@ def oracle_sql() -> dict[str, str]:
     sql["response_parse"] = (
         f"SELECT CAST(case_id AS BIGINT) AS case_id, expected_parsed AS parsed "
         f"FROM read_parquet('{fx}/prompt_cases.parquet')"
+    )
+    sql["markdown_flatten"] = (
+        f"SELECT CAST(case_id AS BIGINT) AS case_id, expected_plain AS plain "
+        f"FROM read_parquet('{fx}/markdown_cases.parquet')"
+    )
+    sql["base64_validity"] = (
+        f"SELECT CAST(case_id AS BIGINT) AS case_id, expected_valid AS valid "
+        f"FROM read_parquet('{fx}/base64_cases.parquet')"
     )
 
     sql["dedup_exact"] = (
@@ -349,5 +399,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, "
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    )
+    sql["sessionize"] = (
+        "WITH o AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS e, "
+        " lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+        "f AS (SELECT user_id, event_id, ts, e, "
+        " CASE WHEN prev IS NULL OR e - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM o), "
+        "s AS (SELECT user_id, e, CAST(sum(is_new) OVER "
+        " (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq FROM f) "
+        "SELECT user_id, session_seq, CAST(min(e) AS BIGINT) AS session_start_epoch, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, session_seq"
+    )
+
+    media_cte = (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "(['image','audio','video'])[(doc_id % 3) + 1] AS kind, "
+        "doc_id % 1900 + 20 AS w, doc_id % 1060 + 20 AS h, "
+        "doc_id % 60000 + 1000 AS dur FROM documents)"
+    )
+    sql["media_resize"] = (
+        f"{media_cte} SELECT media_id, kind, "
+        "CAST(CASE WHEN NOT (w > 300 OR h > 300) THEN w WHEN w >= h THEN 2048 "
+        " ELSE floor(w * (2048.0 / h)) END AS BIGINT) AS new_width, "
+        "CAST(CASE WHEN NOT (w > 300 OR h > 300) THEN h WHEN w >= h THEN floor(h * (2048.0 / w)) "
+        " ELSE 2048 END AS BIGINT) AS new_height, "
+        "CAST(floor(2048 * 72.0 / greatest(w, h) * 100) AS BIGINT) AS centi_dpi, "
+        "CAST(least(CAST(floor(dur / 1000.0) AS BIGINT), 64) AS BIGINT) AS n_frames FROM m"
+    )
+    sql["media_features"] = (
+        "SELECT doc_id AS media_id, sha256(text) AS payload_sha, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
     )
     return sql

@@ -37,6 +37,9 @@ CORPUS_QUERIES = [
     "pricing_rollup",
     "orders_by_segment",
     "events_hourly",
+    "sessionize",
+    "media_resize",
+    "media_features",
 ]
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
@@ -37,7 +38,7 @@ from ..oracle.mdflatten import markdown_to_plain_text
 from ..oracle.pdfmini import parse_pdf
 from ..oracle.prompts import render_prompt
 from ..oracle.respparse import parse_response_text
-from ..oracle.textops import cleanup_element_text
+from ..oracle.textops import cleanup_element_text, is_base64_string
 
 # ---------------------------------------------------------------------------
 # Schemas
@@ -128,11 +129,26 @@ def _page_row(page: int, mediabox=None, elements=None, text=None, error=None) ->
             "text": text, "error": error}
 
 
-def _parse_pdf_rows(blob: bytes) -> list:
+def _parse_pdf_rows(url: str, blob: bytes, budget: int, spread_threshold: int) -> list:
     try:
         reports = parse_pdf(blob)
     except Exception as exc:
         return [_page_row(1, error=f"Error processing document: {exc}")]
+    if not reports:
+        return [_page_row(1, error="empty pdf")]
+    if len(reports) <= spread_threshold:
+        # Bounded-size document: linearize where parsed — no element IR
+        # ever leaves this task, and the downstream shuffle carries only
+        # the budget-capped anchor strings.
+        return [
+            _page_row(
+                idx,
+                text=linearize_page(report, budget, truncation_rng(url, idx)),
+            )
+            for idx, report in enumerate(reports, start=1)
+        ]
+    # Giant document (the skew cohort): emit raw layout IR so its pages
+    # fan out across the cluster before the CPU-heavy linearize.
     out = []
     for idx, report in enumerate(reports, start=1):
         mb = report.mediabox
@@ -143,14 +159,22 @@ def _parse_pdf_rows(blob: bytes) -> list:
                 elements=_element_rows(report),
             )
         )
-    return out or [_page_row(1, error="empty pdf")]
+    return out
 
 
 @pandas_udf(ArrayType(PAGE_STRUCT))
-def stage_pages_udf(kind: pd.Series, payload: pd.Series) -> pd.Series:
+def stage_pages_udf(
+    url: pd.Series,
+    kind: pd.Series,
+    payload: pd.Series,
+    budget: pd.Series,
+    spread_threshold: pd.Series,
+) -> pd.Series:
     """Stage-1 of the pipeline, one pass over the raw payloads:
-    pdf → per-page layout IR (content-stream interpreter standing in for
-    the reference's pypdf visitor pass, ocr_utils.py:358-388);
+    pdf → per-page anchors (documents up to ``spread_threshold`` pages
+    linearize inline; larger ones emit layout IR for the skew-spread
+    path — the content-stream interpreter stands in for the reference's
+    pypdf visitor pass, ocr_utils.py:358-388);
     html → single page carrying the boilerplate-stripped text;
     junk → single failed page row.
 
@@ -160,9 +184,9 @@ def stage_pages_udf(kind: pd.Series, payload: pd.Series) -> pd.Series:
     failures (/root/reference/backend/services/ocr_service.py:254-262).
     """
 
-    def one(k: str, blob: Optional[bytes]) -> list:
+    def one(u: str, k: str, blob: Optional[bytes], b: int, t: int) -> list:
         if k == "pdf" and blob is not None:
-            return _parse_pdf_rows(bytes(blob))
+            return _parse_pdf_rows(u, bytes(blob), int(b), int(t))
         if k == "html" and blob is not None:
             try:
                 return [_page_row(1, text=strip_html_boilerplate(bytes(blob)))]
@@ -170,15 +194,18 @@ def stage_pages_udf(kind: pd.Series, payload: pd.Series) -> pd.Series:
                 return [_page_row(1, error=f"Error processing document: {exc}")]
         return [_page_row(1, error="unsupported payload")]
 
-    return pd.Series([one(k, b) for k, b in zip(kind, payload)], dtype="object")
+    return pd.Series(
+        [one(*args) for args in zip(url, kind, payload, budget, spread_threshold)],
+        dtype="object",
+    )
 
 
 @pandas_udf(ArrayType(PAGE_STRUCT))
 def parse_pdf_pages_udf(payload: pd.Series) -> pd.Series:
     """BINARY pdf payload → array of per-page layout IR structs
-    (standalone form of the pdf branch of stage_pages_udf)."""
+    (standalone IR-only form of the pdf branch of stage_pages_udf)."""
     return payload.map(
-        lambda blob: _parse_pdf_rows(bytes(blob)) if blob is not None
+        lambda blob: _parse_pdf_rows("", bytes(blob), 0, 0) if blob is not None
         else [_page_row(1, error="null payload")]
     )
 
@@ -261,3 +288,10 @@ def render_prompt_udf(task_type: pd.Series, anchor: pd.Series) -> pd.Series:
 def cleanup_text_udf(text: pd.Series) -> pd.Series:
     """Element-text cleanup (ocr_utils.py:266-276) exposed standalone."""
     return text.map(lambda s: cleanup_element_text(s) if s is not None else None)
+
+
+@pandas_udf(BooleanType())
+def is_base64_udf(value: pd.Series) -> pd.Series:
+    """Base64 round-trip validity (ocr_utils.py:627-632). Native
+    unbase64 is too lenient for parity, hence the UDF (SURVEY.md §2 #17)."""
+    return value.map(lambda s: is_base64_string(s) if s is not None else False)

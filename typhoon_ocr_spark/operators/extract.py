@@ -64,31 +64,42 @@ def extract_pages(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -
     staged = base.select(
         "url",
         "kind",
-        F.posexplode(stage_pages_udf("kind", "html")).alias("_pos", "pg"),
+        F.posexplode(
+            stage_pages_udf(
+                "url",
+                "kind",
+                "html",
+                F.lit(config.anchor_budget),
+                F.lit(config.spread_page_threshold),
+            )
+        ).alias("_pos", "pg"),
     ).select("url", "kind", "pg.page", "pg.mediabox", "pg.elements", "pg.text", "pg.error")
 
-    return (
-        # shuffle: pages of one document spread across all tasks before
-        # the CPU-heavy linearize (merge + shuffle + sort per page).
-        staged.repartition(n_spread, "url", "page")
-        .withColumn(
-            "anchor_text",
-            linearize_anchor_udf(
-                "url", "page", "mediabox", "elements", F.lit(config.anchor_budget)
-            ),
-        )
-        .select(
-            "url",
-            "kind",
-            "page",
-            "anchor_text",
-            F.when(F.col("error").isNotNull(), F.lit(""))  # failed page rows
-            .when(F.col("kind") == "pdf", F.col("anchor_text"))
-            .otherwise(F.col("text"))
-            .alias("text"),
-            F.col("error").isNull().alias("success"),
-            "error",
-        )
+    # shuffle: spread before the remaining CPU-heavy work. Bounded docs
+    # already carry their final (budget-capped) anchor text, so this
+    # exchange moves small strings; only the skew cohort's element IR
+    # rides it, and those pages fan out across all tasks.
+    spread = staged.repartition(n_spread, "url", "page")
+
+    anchor = F.when(
+        F.col("elements").isNotNull(),
+        linearize_anchor_udf(
+            "url", "page", "mediabox", "elements", F.lit(config.anchor_budget)
+        ),
+    ).otherwise(F.col("text"))
+
+    return spread.withColumn("anchor_or_text", anchor).select(
+        "url",
+        "kind",
+        "page",
+        F.when(F.col("kind") == "pdf", F.col("anchor_or_text"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("anchor_text"),
+        F.when(F.col("error").isNotNull(), F.lit(""))  # failed page rows
+        .otherwise(F.col("anchor_or_text"))
+        .alias("text"),
+        F.col("error").isNull().alias("success"),
+        "error",
     )
 
 

@@ -1,0 +1,150 @@
+"""Multimodal column operators: image/audio/video as opaque BINARY +
+typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked deterministic fake (hash-derived "pixel statistics") or
+NotImplementedError — but the Spark-side plumbing is real and tested:
+schemas, mapInPandas batch shape, Arrow-safe binary handling, and the
+native dimension/frame arithmetic (which follows the reference's resize
+rule, /root/reference/packages/typhoon_ocr/typhoon_ocr/
+ocr_utils.py:467-494, and render-resolution formula, ocr_utils.py:138).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),     # image | audio | video
+        StructField("payload", BinaryType()),  # opaque encoded bytes
+        StructField("width", LongType()),      # typed metadata
+        StructField("height", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("format", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload_sha", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def resize_dims(width: Column, height: Column, max_size: int = 2048):
+    """The reference's conditional resize arithmetic (ocr_utils.py:467-494):
+    only when a side exceeds 300 px, scale the LONGEST side to max_size
+    (note the reference's asymmetric int() truncation). Pure column
+    expressions — runs in whole-stage codegen.
+    Returns (new_width, new_height) columns."""
+    needs = (width > 300) | (height > 300)
+    wide = width >= height
+    new_w = (
+        F.when(~needs, width)
+        .when(wide, F.lit(max_size))
+        .otherwise((width * (F.lit(max_size) / height)).cast("long"))
+    )
+    new_h = (
+        F.when(~needs, height)
+        .when(wide, (height * (F.lit(max_size) / width)).cast("long"))
+        .otherwise(F.lit(max_size))
+    )
+    return new_w, new_h
+
+
+def render_dpi(width: Column, height: Column, target_longest: int = 2048) -> Column:
+    """The reference's raster-resolution formula
+    ``target * 72 / longest_dim`` (ocr_utils.py:138)."""
+    return F.lit(target_longest) * 72.0 / F.greatest(width, height)
+
+
+def frame_sample_indices(duration_ms: Column, fps: float = 1.0) -> Column:
+    """Frame-sampling plan for video rows: one frame index per 1/fps
+    seconds, computed natively (sequence), capped at 64 frames."""
+    n = F.least((duration_ms / F.lit(1000.0 / fps)).cast("long"), F.lit(64))
+    return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def _fake_decode_features(payload: bytes) -> list:
+    """DETERMINISTIC FAKE of the decode step (no codecs in-container):
+    derives FEATURE_DIM pseudo-statistics from sha256 of the payload.
+    Swap for a real decoder (PIL/ffmpeg) by replacing this one function;
+    the Spark plumbing around it is unchanged."""
+    digest = hashlib.sha256(payload).digest()
+    return [
+        int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def decode_media(payload: bytes, fmt: str):  # pragma: no cover - stub
+    """The real decode hook. Not implementable in this container."""
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg; use _fake_decode_features "
+        "for deterministic pipeline testing"
+    )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over opaque media payloads.
+
+    Arrow-batch plumbing is production-shaped: batches stream through
+    the iterator (bounded memory regardless of table size), only the
+    needed columns enter the UDF, output conforms to FEATURE_SCHEMA.
+    Output: (media_id, payload_sha, n_bytes, features[8])."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload_sha": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
+                    "features": [_fake_decode_features(p) for p in payloads],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents corpus
+    (text bytes as the opaque payload) — exercises the multimodal
+    plumbing without external data."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("doc_id") % 1900 + 20).cast("long").alias("width"),
+        (F.col("doc_id") % 1060 + 20).cast("long").alias("height"),
+        (F.col("doc_id") % 60000 + 1000).cast("long").alias("duration_ms"),
+        F.lit("synthetic").alias("format"),
+    )

@@ -130,5 +130,25 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (the batch twin of a custom
+    stateful streaming operator — applyInPandasWithState would carry
+    the same per-user state): a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. All native window functions.
+    Output: (user_id, session_seq, session_start_epoch, n_events)."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(by_user))
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_session = events.withColumn(
+        "session_seq", F.sum(is_new).over(by_user).cast("long")
+    )
+    return with_session.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_timestamp("ts")).cast("long").alias("session_start_epoch"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

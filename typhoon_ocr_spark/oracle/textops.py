@@ -77,3 +77,14 @@ def cleanup_element_text(text: str) -> str:
     cleaned = fix_text_lite(text).strip()
     cleaned = _ESCAPE_RE.sub(lambda m: _ESCAPES[m.group(0)], cleaned)
     return cap_split_string(cleaned, ELEMENT_TEXT_CAP)
+
+
+def is_base64_string(value: str) -> bool:
+    """Base64 round-trip validity check (ocr_utils.py:627-632): decode
+    leniently, re-encode, compare the first 10 encoded bytes."""
+    import base64
+
+    try:
+        return base64.b64encode(base64.b64decode(value))[:10] == value.encode()[:10]
+    except Exception:
+        return False

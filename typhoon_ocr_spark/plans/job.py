@@ -1,0 +1,101 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Cluster usage (the north-rule launch shape):
+
+    zip -r engine.zip typhoon_ocr_spark
+    spark-submit --py-files engine.zip -m typhoon_ocr_spark.plans.job \\
+        --input s3://bucket/pages --output s3://bucket/extracted \\
+        --mode resumable --buckets 4096 --anchor-budget 4000
+
+Local smoke:
+
+    python -m typhoon_ocr_spark.plans.job \\
+        --input data/pages_sf0.001/pages.parquet --output /tmp/extracted
+
+Modes:
+- ``batch``      one-shot extract → parquet
+- ``resumable``  manifest-committed buckets (kill-safe, default)
+- ``stream``     Structured Streaming drain with checkpointing
+
+The ``--pages`` expression ("1-3,5") filters PDF pages post-extraction,
+mirroring the reference's page selection
+(/root/reference/backend/routes/ocr.py:85-103).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_documents, extract_pages
+from ..oracle.pagerange import parse_page_ranges
+from .session import PipelineConfig, build_session
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="typhoon-ocr-spark")
+    parser.add_argument("--input", required=True, help="pages table path (parquet)")
+    parser.add_argument("--output", required=True, help="output root")
+    parser.add_argument("--mode", choices=("batch", "resumable", "stream"),
+                        default="resumable")
+    parser.add_argument("--buckets", type=int, default=64,
+                        help="manifest buckets (resumable mode)")
+    parser.add_argument("--anchor-budget", type=int, default=4000)
+    parser.add_argument("--spread-threshold", type=int, default=32,
+                        help="docs above this many pages take the skew-spread path")
+    parser.add_argument("--pages", default=None,
+                        help="page expression, e.g. '1-3,5' (PDF page filter)")
+    parser.add_argument("--page-level", action="store_true",
+                        help="emit page-level rows instead of per-document rollup")
+    parser.add_argument("--checkpoint", default=None, help="stream-mode checkpoint dir")
+    parser.add_argument("--master", default=None)
+    args = parser.parse_args(argv)
+
+    spark = build_session(app_name="typhoon-ocr-spark-job", master=args.master)
+    spark.sparkContext.setLogLevel("WARN")
+    config = PipelineConfig(
+        anchor_budget=args.anchor_budget,
+        spread_page_threshold=args.spread_threshold,
+    )
+
+    if args.mode == "stream":
+        from ..streaming.runner import stream_extract
+
+        ckpt = args.checkpoint or f"{args.output}/_checkpoint"
+        stream_extract(spark, args.input, f"{args.output}/docs", ckpt, config)
+        print(json.dumps({"mode": "stream", "output": args.output}))
+        return 0
+
+    if args.mode == "resumable" and not args.page_level:
+        from ..streaming.runner import ResumableExtractJob
+
+        job = ResumableExtractJob(
+            spark, args.input, args.output, n_buckets=args.buckets, config=config
+        )
+        summary = job.run()
+        print(json.dumps({"mode": "resumable", **summary,
+                          "metrics": job.metrics()[:3]}))
+        return 0
+
+    pages = spark.read.parquet(args.input)
+    if args.page_level:
+        frame = extract_pages(pages, config)
+        wanted = parse_page_ranges(args.pages)
+        if wanted:
+            frame = frame.filter(
+                (F.col("kind") != "pdf") | F.col("page").isin(wanted)
+            )
+        frame.write.mode("overwrite").parquet(f"{args.output}/pages")
+    else:
+        extract_documents(pages, config).write.mode("overwrite").parquet(
+            f"{args.output}/docs"
+        )
+    print(json.dumps({"mode": args.mode, "output": args.output}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

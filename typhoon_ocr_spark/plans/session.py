@@ -64,3 +64,7 @@ class PipelineConfig:
     figure_language: str = "Thai"
     spread_partitions: int | None = None  # None → spark.sql.shuffle.partitions
     salt_buckets: int = 0          # extra salt for the pre-parse spread; 0=off
+    # documents up to this many pages linearize inline in the parse
+    # task (their element IR never shuffles); larger documents emit raw
+    # layout IR and fan out across the cluster before linearize
+    spread_page_threshold: int = 32

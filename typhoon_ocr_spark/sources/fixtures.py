@@ -260,6 +260,59 @@ def prompt_cases() -> Dict[str, list]:
     return out
 
 
+def markdown_cases() -> Dict[str, list]:
+    """Markdown→plaintext flattening fixtures
+    (frontend/utils/markdownText.ts:1-37 behaviors)."""
+    from ..oracle.mdflatten import markdown_to_plain_text
+
+    cases = [
+        "# Title\n\nplain paragraph",
+        "**bold** _it_ `code` ~~strike~~",
+        "[label](http://x) and ![alt](y.png)",
+        "| a | b |\n|---|---|\n| 1 | 2 |",
+        "```python\nx = 1\ny = 2\n```",
+        "- item one\n* item two\n1. ordered\n- [x] done\n---",
+        "> quoted line\n>> nested",
+        "<p>para</p><div>block</div><br>after<table><tr><td>c</td></tr></table>",
+        "line1\r\nline2\r\n\r\n\r\n\r\nline3",
+        "Thai: ภาษาไทย **หนา**",
+        "",
+        "just plain text with no markdown at all",
+    ]
+    return {
+        "case_id": list(range(len(cases))),
+        "markdown": cases,
+        "expected_plain": [markdown_to_plain_text(c) for c in cases],
+    }
+
+
+def base64_cases() -> Dict[str, list]:
+    """Base64 validity fixtures (ocr_utils.py:627-632 round-trip)."""
+    import base64 as b64
+
+    from ..oracle.textops import is_base64_string
+
+    cases = [
+        "SGVsbG8gV29ybGQ=",
+        "VGVzdA==",
+        b64.b64encode(b"test data").decode(),
+        b64.b64encode("测试".encode()).decode(),
+        "YQ==",
+        "YQ",
+        "Hello World",
+        "Not!Base64@String",
+        "SGVsbG8",
+        "!!!@@@###",
+        "",
+        "====",
+    ]
+    return {
+        "case_id": list(range(len(cases))),
+        "input_string": cases,
+        "expected_valid": [is_base64_string(c) for c in cases],
+    }
+
+
 def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
     cfg = TIERS[tier]
     out_dir = os.path.join(out_root, f"pages_{tier}")
@@ -287,6 +340,8 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         pq.write_table(pa.table(docs), os.path.join(out_dir, "expected_docs.parquet"))
         pq.write_table(pa.table(per_page), os.path.join(out_dir, "expected_pages.parquet"))
     pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
+    pq.write_table(pa.table(markdown_cases()), os.path.join(out_dir, "markdown_cases.parquet"))
+    pq.write_table(pa.table(base64_cases()), os.path.join(out_dir, "base64_cases.parquet"))
     return out_dir
 
 
@@ -297,7 +352,10 @@ def tier_dir_for_sf(sf_dir: str, out_root: str = DATA_ROOT) -> str:
     if tier not in TIERS:
         tier = "sf0.01"
     out_dir = os.path.join(out_root, f"pages_{tier}")
-    if not os.path.exists(os.path.join(out_dir, "pages.parquet")):
+    # base64_cases is the newest artifact — use it as the freshness marker
+    if not os.path.exists(os.path.join(out_dir, "pages.parquet")) or not os.path.exists(
+        os.path.join(out_dir, "base64_cases.parquet")
+    ):
         write_tier(tier, out_root)
     return out_dir
 
