@@ -136,6 +136,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["simhash"] = lambda spark, sf: dedup.simhash_fingerprints(_t(spark, sf, "documents"))
+    q["simhash_near_dups"] = lambda spark, sf: dedup.simhash_near_dups(
+        _t(spark, sf, "documents")
+    )
+    q["embedding_near_dups"] = lambda spark, sf: similarity.embedding_near_dups(
+        _t(spark, sf, "embeddings")
+    )
+    q["ocr_requests"] = lambda spark, sf: (
+        _fixture(spark, sf, "expected_pages")
+        .filter((F.col("kind") == "pdf") & F.col("success"))
+        .select(
+            "url",
+            F.col("page").cast("long").alias("page"),
+            render_prompt_udf(F.lit("default"), F.col("anchor_text")).alias("prompt"),
+            F.lit(120).cast("long").alias("rep_penalty_cents"),
+            F.lit(16384).cast("long").alias("max_tokens"),
+        )
+    )
     q["jaccard_pairs"] = lambda spark, sf: dedup.jaccard_pairs(_t(spark, sf, "documents"))
     q["lang_id"] = lambda spark, sf: textstats.language_id(_t(spark, sf, "documents"))
     q["quality_scores"] = lambda spark, sf: textstats.quality_scores(_t(spark, sf, "documents"))
@@ -265,12 +282,16 @@ def oracle_sql() -> dict[str, str]:
         f"sigs AS (SELECT doc_id, {sig_exprs} FROM s WHERE len(sh) > 0), "
         f"bands AS ({band_rows})"
     )
-    sql["minhash_bands"] = f"{minhash_cte} SELECT doc_id, band, band_hash FROM bands"
-    sql["minhash_pairs"] = (
-        f"{minhash_cte} SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-        "FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash "
-        "AND l.doc_id < r.doc_id"
+    pairs_tail = (
+        "buckets AS (SELECT band, band_hash, list_sort(list(doc_id)) AS ids "
+        " FROM bands GROUP BY band, band_hash HAVING count(*) > 1)"
     )
+    pairs_select = (
+        "SELECT DISTINCT a.x AS doc_a, b.x AS doc_b "
+        "FROM buckets, unnest(ids) AS a(x), unnest(ids) AS b(x) WHERE a.x < b.x"
+    )
+    sql["minhash_bands"] = f"{minhash_cte} SELECT doc_id, band, band_hash FROM bands"
+    sql["minhash_pairs"] = f"{minhash_cte}, {pairs_tail} {pairs_select}"
 
     bit_exprs = " || ".join(
         "(CASE WHEN coalesce(list_sum(list_transform(hs, x -> "
@@ -284,11 +305,51 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {bit_exprs} AS simhash, CAST(len(hs) AS BIGINT) AS n_tokens FROM h"
     )
 
+    from typhoon_ocr_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_PREFIX_BITS,
+    )
+
+    ham = " + ".join(
+        f"(CASE WHEN substring(a.simhash, {j}, 1) <> substring(b.simhash, {j}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for j in range(1, SIMHASH_BITS + 1)
+    )
+    sql["simhash_near_dups"] = (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t), "
+        f"sh AS (SELECT doc_id, {bit_exprs} AS simhash FROM h) "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming "
+        "FROM sh a JOIN sh b "
+        f"ON substring(a.simhash, 1, {SIMHASH_PREFIX_BITS}) = "
+        f"substring(b.simhash, 1, {SIMHASH_PREFIX_BITS}) AND a.doc_id < b.doc_id "
+        f"WHERE {ham} <= {SIMHASH_MAX_HAMMING}"
+    )
+
+    from typhoon_ocr_spark.operators.similarity import NEAR_DUP_COSINE
+
+    sql["embedding_near_dups"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        "CAST(floor(100 * (list_dot_product(a.e, b.e) / (a.nrm * b.nrm))) AS BIGINT) "
+        "AS cos_pct FROM n a JOIN n b ON a.vec_id < b.vec_id "
+        f"WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > {NEAR_DUP_COSINE}"
+    )
+
+    from typhoon_ocr_spark.oracle.prompts import _DEFAULT_TEMPLATE
+
+    sql["ocr_requests"] = (
+        f"SELECT url, CAST(page AS BIGINT) AS page, "
+        f"replace($TPL${_DEFAULT_TEMPLATE}$TPL$, '{{base_text}}', anchor_text) AS prompt, "
+        "CAST(120 AS BIGINT) AS rep_penalty_cents, CAST(16384 AS BIGINT) AS max_tokens "
+        f"FROM read_parquet('{fx}/expected_pages.parquet') "
+        "WHERE kind = 'pdf' AND success"
+    )
+
     sql["jaccard_pairs"] = (
-        f"{minhash_cte}, "
-        "pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-        " FROM bands l JOIN bands r ON l.band = r.band AND l.band_hash = r.band_hash "
-        " AND l.doc_id < r.doc_id), "
+        f"{minhash_cte}, {pairs_tail}, "
+        f"pairs AS ({pairs_select}), "
         "sets AS (SELECT doc_id, list_distinct(sh) AS shset FROM s WHERE len(sh) > 0) "
         "SELECT p.doc_a, p.doc_b, CAST(round(100.0 * "
         "len(list_intersect(a.shset, b.shset)) / "

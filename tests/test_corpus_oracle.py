@@ -40,6 +40,8 @@ CORPUS_QUERIES = [
     "sessionize",
     "media_resize",
     "media_features",
+    "simhash_near_dups",
+    "embedding_near_dups",
 ]
 
 

@@ -115,20 +115,26 @@ def minhash_bands(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_candidate_pairs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Near-dup candidates: distinct doc pairs sharing any LSH band
-    bucket. The equi-join on (band, band_hash) is the scale path — at
-    10^12 docs the band hash spreads uniformly, and AQE handles the
-    residual bucket skew. Output: (doc_a, doc_b), doc_a < doc_b."""
+    bucket. Output: (doc_a, doc_b), doc_a < doc_b.
+
+    Shape note: bucket-group + double-explode instead of a self-join —
+    a self-join on the derived bands frame computes the whole signature
+    pipeline TWICE (lambda variables defeat plan canonicalization, so
+    ReuseExchange never fires; observed 2 scans / 0 reuses). Grouping
+    by (band, band_hash) keeps one lineage, and pair fan-out happens on
+    the already-tiny buckets. At 10^12 docs a production run would cap
+    bucket size (a 10k-member bucket is one dup-cluster, not 10^8
+    interesting pairs) — the fixture corpus has no such buckets."""
     bands = minhash_bands(documents, text_col)
-    left = bands.alias("l")
-    right = bands.alias("r")
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 
@@ -161,6 +167,45 @@ def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFr
         "doc_id",
         F.concat(*bits).alias("simhash"),
         F.size("hs").cast("long").alias("n_tokens"),
+    )
+
+
+SIMHASH_PREFIX_BITS = 8
+SIMHASH_MAX_HAMMING = 2
+
+
+def simhash_near_dups(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs: candidates share the first
+    SIMHASH_PREFIX_BITS of the fingerprint (the LSH bucket), kept when
+    total Hamming distance <= SIMHASH_MAX_HAMMING. Single lineage via
+    bucket-group + double-explode (see minhash_candidate_pairs).
+    Output: (doc_a, doc_b, hamming)."""
+    sh = simhash_fingerprints(documents, text_col).select("doc_id", "simhash")
+    buckets = (
+        sh.groupBy(F.substring("simhash", 1, SIMHASH_PREFIX_BITS).alias("pre"))
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    hamming = sum(
+        F.when(
+            F.substring(F.col("a.simhash"), j, 1) != F.substring(F.col("b.simhash"), j, 1),
+            1,
+        ).otherwise(0)
+        for j in range(1, SIMHASH_BITS + 1)
+    )
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "hamming",
+        )
     )
 
 

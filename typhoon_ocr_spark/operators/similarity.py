@@ -64,6 +64,31 @@ def cosine_topk(
     )
 
 
+NEAR_DUP_COSINE = 0.42  # calibrated to the synthetic corpus (max ~0.51)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_COSINE
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs — the
+    verification-grade path; bucket first with lsh_sign_buckets at
+    10^12 scale). Output: (vec_a, vec_b, cos_pct BIGINT)."""
+    base = _with_norm(embeddings)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") > threshold)
+        .select("vec_a", "vec_b", F.floor(F.col("cos") * 100).cast("long").alias("cos_pct"))
+    )
+
+
 def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     """Sign-LSH bucket per vector: bit j = sign of the projection onto a
     deterministic ±1 hyperplane (plane j keeps dimension i with sign +1
