@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) over the oracle functions —
+beyond the reference's example-based suite (SURVEY.md §5.1 notes the
+reference has no randomized tests)."""
+
+import random
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from typhoon_ocr_spark.oracle import (
+    BoundingBox,
+    PageReport,
+    TextElement,
+    cap_split_string,
+    cleanup_element_text,
+    linearize_page,
+    parse_page_ranges,
+    truncation_rng,
+)
+from typhoon_ocr_spark.oracle.htmlstrip import strip_html_boilerplate
+from typhoon_ocr_spark.oracle.pdfmini import MiniPdfWriter, parse_pdf
+
+SETTINGS = dict(max_examples=60, deadline=None)
+
+run_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " ()[]\\{}#%/<>.,;:!?'\"-",
+    min_size=1,
+    max_size=80,
+)
+coord = st.integers(min_value=-500, max_value=2000)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(run_text, coord, coord), min_size=1, max_size=12))
+def test_pdf_writer_parser_roundtrip(runs):
+    w = MiniPdfWriter().add_page()
+    for text, x, y in runs:
+        w.text(x, y, text)
+    (report,) = parse_pdf(w.build())
+    assert [(e.text, e.x, e.y) for e in report.text_elements] == [
+        (t, float(x), float(y)) for t, x, y in runs
+    ]
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(run_text, coord, coord), min_size=0, max_size=60),
+    st.integers(min_value=20, max_value=600),
+)
+def test_linearize_invariants(runs, budget):
+    report = PageReport(
+        mediabox=BoundingBox(0, 0, 612, 792),
+        text_elements=[TextElement(t, float(x), float(y)) for t, x, y in runs],
+        image_elements=[],
+    )
+    rng = truncation_rng("prop://doc", 1)
+    out = linearize_page(report, budget, rng)
+    again = linearize_page(report, budget, truncation_rng("prop://doc", 1))
+    assert out == again  # deterministic under the seeded convention
+    assert out.startswith("Page dimensions: 612.0x792.0\n")
+    # every emitted line is a line the full (unbudgeted) rendering contains
+    full = linearize_page(report, 10**9, random.Random(0))
+    full_lines = set(full.splitlines())
+    assert all(line in full_lines for line in out.splitlines()[1:])
+    # over budget the output can exceed budget only via the always-kept
+    # coordinate-extreme elements (≤8 of them)
+    if len(out) > budget:
+        assert len(out.splitlines()) <= 1 + 8
+
+
+@settings(**SETTINGS)
+@given(st.text(min_size=0, max_size=600), st.integers(min_value=10, max_value=300))
+def test_cap_split_bounded(text, max_length):
+    out = cap_split_string(text, max_length)
+    assert len(out) <= max_length
+    if len(text) <= max_length:
+        assert out == text
+    else:
+        assert " ... " in out
+
+
+@settings(**SETTINGS)
+@given(st.text(min_size=0, max_size=400))
+def test_cleanup_never_emits_raw_control_chars(text):
+    out = cleanup_element_text(text)
+    assert "\n" not in out and "\r" not in out and "\t" not in out
+    assert len(out) <= 250
+
+
+@settings(**SETTINGS)
+@given(st.binary(min_size=0, max_size=2000))
+def test_htmlstrip_total_on_arbitrary_bytes(payload):
+    out = strip_html_boilerplate(payload)
+    assert isinstance(out, str)
+    assert out == strip_html_boilerplate(payload)
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=1, max_value=99), min_size=1, max_size=20))
+def test_page_ranges_sorted_unique(pages):
+    expr = ",".join(
+        f"{a}-{b}" if i % 3 == 0 else str(a)
+        for i, (a, b) in enumerate(zip(pages, pages[1:] + pages[:1]))
+    )
+    out = parse_page_ranges(expr)
+    assert out == sorted(set(out))
+    assert all(p >= 1 for p in out)

@@ -101,6 +101,34 @@ def test_skew_doc_pages_spread_across_partitions(frames):
     assert n_parts > 1, "giant document stayed on one partition"
 
 
+def test_spread_shuffle_carries_no_blob(frames):
+    """The (url, page) spread exchange must move parsed IR / capped
+    anchors, never the raw BINARY payload — at 100 TB shuffling the
+    blobs would double the job's IO."""
+    plan = _fresh_plan(frames)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line and "url" in line and "page" in line:
+            break
+    # the exchange's input schema is printed in the preceding Input [...] row;
+    # simpler global check: the html column appears only below the scan/UDF
+    # stage, never in an Exchange's argument list
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchanges, "no shuffle found"
+    assert not any("html" in l for l in exchanges)
+
+
+def test_job_level_observation_counters(spark, fixture_dir):
+    from typhoon_ocr_spark.streaming.metrics import observed_page_frame
+
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    frame, obs = observed_page_frame(extract_pages(pages))
+    frame.write.mode("overwrite").format("noop").save()
+    counters = obs.get
+    assert counters["n_pages"] > 200  # multi-page pdfs explode past doc count
+    assert counters["n_html"] > 0 and counters["n_junk"] > 0
+    assert counters["n_errors"] >= counters["n_junk"]
+
+
 def test_error_rows_not_failures(spark):
     """Broken payloads yield success=false rows, never task failures
     (mirrors /root/reference/backend/services/ocr_service.py:254-262)."""

@@ -80,9 +80,12 @@ def main(argv=None) -> int:
                           "metrics": job.metrics()[:3]}))
         return 0
 
+    from ..operators.extract import assemble_documents
+    from ..streaming.metrics import observed_page_frame
+
     pages = spark.read.parquet(args.input)
+    frame, observation = observed_page_frame(extract_pages(pages, config))
     if args.page_level:
-        frame = extract_pages(pages, config)
         wanted = parse_page_ranges(args.pages)
         if wanted:
             frame = frame.filter(
@@ -90,10 +93,11 @@ def main(argv=None) -> int:
             )
         frame.write.mode("overwrite").parquet(f"{args.output}/pages")
     else:
-        extract_documents(pages, config).write.mode("overwrite").parquet(
+        assemble_documents(frame).write.mode("overwrite").parquet(
             f"{args.output}/docs"
         )
-    print(json.dumps({"mode": args.mode, "output": args.output}))
+    print(json.dumps({"mode": args.mode, "output": args.output,
+                      "metrics": observation.get}))
     return 0
 
 

@@ -1,0 +1,33 @@
+"""Counter metrics via Spark's Observation API — the engine's analog of
+the reference's SSE progress counters (/root/reference/backend/routes/
+ocr.py:275: totals in the `start`/`complete` events).
+
+Observation metrics ride the job itself (no second pass over the data):
+the observe node computes the aggregates alongside the action, so a
+100 TB run pays zero extra scans for its counters. Per-partition
+metrics rows come from ResumableExtractJob (runner.py); these are the
+job-level totals.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def observed_page_frame(page_frame: DataFrame) -> Tuple[DataFrame, Observation]:
+    """Attach job-level extraction counters to a page-level frame.
+    After any action on the returned frame, ``observation.get`` yields
+    {n_pages, n_pdf_pages, n_html, n_junk, n_errors}."""
+    observation = Observation("extract_metrics")
+    observed = page_frame.observe(
+        observation,
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum((F.col("kind") == "pdf").cast("long")).alias("n_pdf_pages"),
+        F.sum((F.col("kind") == "html").cast("long")).alias("n_html"),
+        F.sum((F.col("kind") == "junk").cast("long")).alias("n_junk"),
+        F.sum((~F.col("success")).cast("long")).alias("n_errors"),
+    )
+    return observed, observation
