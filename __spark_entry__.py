@@ -159,8 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_counts"] = lambda spark, sf: textstats.token_counts(_t(spark, sf, "documents"))
     q["fingerprints"] = lambda spark, sf: textstats.fingerprints(_t(spark, sf, "documents"))
     q["ann_topk"] = lambda spark, sf: similarity.cosine_topk(_t(spark, sf, "embeddings"))
-    # scale-path ANN bucketing: no SQL oracle (rows-only check)
     q["ann_lsh_buckets"] = lambda spark, sf: similarity.lsh_sign_buckets(
+        _t(spark, sf, "embeddings")
+    )
+    q["ann_ivf_assign"] = lambda spark, sf: similarity.ivf_assign(
         _t(spark, sf, "embeddings")
     )
 
@@ -326,7 +328,37 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE {ham} <= {SIMHASH_MAX_HAMMING}"
     )
 
-    from typhoon_ocr_spark.operators.similarity import NEAR_DUP_COSINE
+    from typhoon_ocr_spark.operators.similarity import (
+        IVF_CENTROID_EVERY,
+        NEAR_DUP_COSINE,
+        lsh_plane_signs,
+    )
+
+    # the hyperplanes are deterministic md5-derived constants shared by
+    # both engines; inline them as DuckDB list literals
+    planes = lsh_plane_signs(64, 8)
+    bucket_bits = " || ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(str(s) for s in signs)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for signs in planes
+    )
+    sql["ann_lsh_buckets"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
+        f"SELECT vec_id, {bucket_bits} AS bucket FROM v"
+    )
+    sql["ann_ivf_assign"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
+        f"c AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n "
+        f" WHERE vec_id % {IVF_CENTROID_EVERY} = 0), "
+        "s AS (SELECT n.vec_id, c.centroid_id, "
+        " list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS score, "
+        " row_number() OVER (PARTITION BY n.vec_id "
+        "  ORDER BY list_dot_product(n.e, c.ce) / (n.nrm * c.cn) DESC, c.centroid_id) AS rn "
+        " FROM n, c) "
+        "SELECT vec_id, centroid_id FROM s WHERE rn = 1"
+    )
 
     sql["embedding_near_dups"] = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "

@@ -42,6 +42,8 @@ CORPUS_QUERIES = [
     "media_features",
     "simhash_near_dups",
     "embedding_near_dups",
+    "ann_lsh_buckets",
+    "ann_ivf_assign",
 ]
 
 

@@ -89,33 +89,59 @@ def embedding_near_dups(
     )
 
 
-def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """Sign-LSH bucket per vector: bit j = sign of the projection onto a
-    deterministic ±1 hyperplane (plane j keeps dimension i with sign +1
-    iff md5("{i}|{j}") starts with hex digit 0-7). Bucket-join variant
-    of ANN: at 10^12 vectors, equal buckets become the join key and
-    brute force runs only within buckets.
-    Output: (vec_id, bucket STRING of '0'/'1')."""
+def lsh_plane_signs(n_dims: int, n_planes: int = 8) -> list:
+    """Deterministic ±1 hyperplanes: plane j keeps dimension i with
+    sign +1 iff md5("{i}|{j}") starts with hex digit 0-7. Shared by the
+    Spark operator and the DuckDB oracle (inlined as list literals)."""
     import hashlib
 
+    return [
+        [
+            1.0 if hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0] < "8" else -1.0
+            for i in range(n_dims)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_sign_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Sign-LSH bucket per vector: bit j = sign of the projection onto a
+    deterministic ±1 hyperplane. Bucket-join variant of ANN: at 10^12
+    vectors, equal buckets become the join key and brute force runs
+    only within buckets. Output: (vec_id, bucket STRING of '0'/'1')."""
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = embeddings.select("vec_id", e.alias("e"))
     n_dims = df.select(F.size("e").alias("n")).first()["n"]
 
     bits = []
-    for j in range(n_planes):
-        signs = [
-            1.0 if hashlib.md5(f"{i}|{j}".encode()).hexdigest()[0] < "8" else -1.0
-            for i in range(n_dims)
-        ]
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.array(*[F.lit(s) for s in signs]),
-                lambda x, s: x * s,
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
+    for signs in lsh_plane_signs(n_dims, n_planes):
+        proj = _dot(F.col("e"), F.array(*[F.lit(s) for s in signs]))
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.select("vec_id", F.concat(*bits).alias("bucket"))
+
+
+IVF_CENTROID_EVERY = 50
+
+
+def ivf_assign(embeddings: DataFrame, centroid_every: int = IVF_CENTROID_EVERY) -> DataFrame:
+    """IVF coarse quantization: centroids are the deterministic cohort
+    (vec_id % centroid_every == 0); every vector is assigned to its
+    nearest centroid by cosine (ties by centroid id). This is the
+    scale path's routing table — search then touches only the probed
+    cells. Centroids broadcast; assignment is map-only.
+    Output: (vec_id, centroid_id)."""
+    base = _with_norm(embeddings)
+    centroids = base.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = base.join(F.broadcast(centroids)).withColumn(
+        "score", _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )

@@ -42,6 +42,21 @@ IDENTITY = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_TAIL_RE = re.compile(rb"(\d+)\s+R(?![A-Za-z0-9])")
+_WS_RUN_RE = re.compile(rb"[\x00\t\n\x0c\r ]+")
+_NUMBER_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_HEX_FILTER_RE = re.compile(rb"[^0-9a-fA-F]")
+_SIMPLE_LITERAL_RE = re.compile(rb"[^()\\]*\)")
+
+# master scanner: one compiled alternation per token class; the lexer
+# dispatches on lastgroup instead of probing byte classes one call at
+# a time (the tokenizer dominated parse CPU in profiles)
+_SCAN_RE = re.compile(
+    rb"(?P<ws>[\x00\t\n\x0c\r ]+)"
+    rb"|(?P<comment>%[^\r\n]*)"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%+\-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+)
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -56,10 +71,11 @@ class _Lexer:
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
         while self.pos < n:
-            c = d[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment to EOL
+            m = _WS_RUN_RE.match(d, self.pos)
+            if m:
+                self.pos = m.end()
+                continue
+            if d[self.pos] == 0x25:  # '%' comment to EOL
                 while self.pos < n and d[self.pos] not in b"\r\n":
                     self.pos += 1
             else:
@@ -68,74 +84,74 @@ class _Lexer:
     def next_token(self):
         """Return next token: float/int, bytes (string), str (name or
         operator), list, dict, ("ref", n), or None at end."""
-        self._skip_ws()
         d, n = self.data, len(self.data)
-        if self.pos >= n:
-            return None
-        c = d[self.pos]
+        while True:
+            if self.pos >= n:
+                return None
+            m = _SCAN_RE.match(d, self.pos)
+            if m:
+                kind = m.lastgroup
+                self.pos = m.end()
+                if kind == "ws" or kind == "comment":
+                    continue
+                if kind == "num":
+                    return self._finish_number(m.group(0))
+                if kind == "name":
+                    return m.group(0).decode("latin-1")
+                return m.group(0).decode("latin-1")  # op
 
-        if c == 0x28:  # ( literal string
-            return self._literal_string()
-        if c == 0x3C:  # < or <<
-            if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
-                self.pos += 2
-                return self._dict_body()
-            return self._hex_string()
-        if c == 0x5B:  # [
-            self.pos += 1
-            items = []
-            while True:
-                self._skip_ws()
-                if self.pos < n and d[self.pos] == 0x5D:
-                    self.pos += 1
-                    return items
-                tok = self.next_token()
-                if tok is None:
-                    return items
-                items.append(tok)
-        if c == 0x5D:
-            self.pos += 1
-            return "]"
-        if c == 0x2F:  # name
-            start = self.pos
-            self.pos += 1
-            while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
+            c = d[self.pos]
+            if c == 0x28:  # ( literal string
+                return self._literal_string()
+            if c == 0x3C:  # < or <<
+                if self.pos + 1 < n and d[self.pos + 1] == 0x3C:
+                    self.pos += 2
+                    return self._dict_body()
+                return self._hex_string()
+            if c == 0x5B:  # [
                 self.pos += 1
-            return d[start : self.pos].decode("latin-1")
-        if c in b"+-.0123456789":
-            start = self.pos
-            self.pos += 1
-            while self.pos < n and d[self.pos] in b"+-.0123456789":
+                items = []
+                while True:
+                    self._skip_ws()
+                    if self.pos < n and d[self.pos] == 0x5D:
+                        self.pos += 1
+                        return items
+                    tok = self.next_token()
+                    if tok is None:
+                        return items
+                    items.append(tok)
+            if c == 0x5D:
                 self.pos += 1
-            raw = d[start : self.pos]
-            # look ahead for "N 0 R" indirect reference
-            if b"." not in raw:
-                save = self.pos
-                self._skip_ws()
-                m = _REF_TAIL_RE.match(d, self.pos)
-                if m:
-                    self.pos = m.end()
-                    return ("ref", int(raw))
-                self.pos = save
+                return "]"
+            # lone delimiter we don't handle; skip it
+            self.pos += 1
+
+    def _finish_number(self, raw: bytes):
+        # look ahead for "N 0 R" indirect reference
+        if b"." not in raw:
+            save = self.pos
+            self._skip_ws()
+            m = _REF_TAIL_RE.match(self.data, self.pos)
+            if m:
+                self.pos = m.end()
+                return ("ref", int(raw))
+            self.pos = save
+        try:
+            return int(raw)
+        except ValueError:
             try:
-                return int(raw)
+                return float(raw)
             except ValueError:
-                try:
-                    return float(raw)
-                except ValueError:
-                    return 0
-        # operator / keyword
-        start = self.pos
-        while self.pos < n and d[self.pos] not in _WS and d[self.pos] not in _DELIM:
-            self.pos += 1
-        if self.pos == start:  # lone delimiter we don't handle; skip it
-            self.pos += 1
-            return self.next_token()
-        return d[start : self.pos].decode("latin-1")
+                return 0
 
     def _literal_string(self) -> bytes:
         d, n = self.data, len(self.data)
         self.pos += 1
+        # fast path: no escapes, no nesting before the closing paren
+        m = _SIMPLE_LITERAL_RE.match(d, self.pos)
+        if m:
+            self.pos = m.end()
+            return m.group(0)[:-1]
         out = bytearray()
         depth = 1
         while self.pos < n:
@@ -179,18 +195,16 @@ class _Lexer:
         return bytes(out)
 
     def _hex_string(self) -> bytes:
-        d, n = self.data, len(self.data)
+        d = self.data
         self.pos += 1
-        digits = []
-        while self.pos < n and d[self.pos] != 0x3E:
-            ch = chr(d[self.pos])
-            if ch in "0123456789abcdefABCDEF":
-                digits.append(ch)
-            self.pos += 1
-        self.pos += 1  # consume '>'
+        end = d.find(b">", self.pos)
+        if end < 0:
+            end = len(d)
+        digits = _HEX_FILTER_RE.sub(b"", d[self.pos : end])
+        self.pos = end + 1
         if len(digits) % 2:
-            digits.append("0")
-        return bytes(int("".join(digits[i : i + 2]), 16) for i in range(0, len(digits), 2))
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii"))
 
     def _dict_body(self) -> dict:
         d, n = self.data, len(self.data)
