@@ -19,7 +19,10 @@ ties broken by id columns.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

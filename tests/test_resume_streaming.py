@@ -76,6 +76,39 @@ def test_rerun_is_noop_when_complete(spark, pages_path, tmp_path):
     assert summary["processed"] == 0
 
 
+def test_watermarked_hourly_windows(spark, tmp_path):
+    """Watermarked tumbling windows over a drained stream agree with
+    the batch rollup for every window that finalized (append mode emits
+    only windows the watermark has passed)."""
+    from typhoon_ocr_spark.operators.relational import events_hourly
+    from typhoon_ocr_spark.streaming.windowed import run_hourly_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events_src")
+    # multiple files so the drain takes several micro-batches; order
+    # within parquet files is event-time-sorted enough for a 2h watermark
+    events.orderBy("ts").coalesce(4).write.parquet(src)
+
+    out = str(tmp_path / "win_out")
+    run_hourly_stream(spark, src, out, str(tmp_path / "ckpt"))
+    streamed = spark.read.parquet(out)
+    batch = events_hourly(events)
+
+    assert streamed.count() > 0
+    # every emitted (finalized) window matches the batch result exactly
+    mism = streamed.join(
+        batch, ["hour_epoch", "event_type", "n_events", "sum_value"], "left_anti"
+    ).count()
+    assert mism == 0
+    # the only windows NOT emitted are at the tail the watermark never
+    # passed (append-mode semantics)
+    missing = batch.join(streamed, ["hour_epoch", "event_type"], "left_anti")
+    if missing.count():
+        tail_start = missing.agg({"hour_epoch": "min"}).first()[0]
+        max_emitted = streamed.agg({"hour_epoch": "max"}).first()[0]
+        assert tail_start > max_emitted
+
+
 def test_stream_extract_checkpointed(spark, fixture_dir, tmp_path):
     """Structured Streaming drain (foreachBatch + AvailableNow) produces
     the same per-url output as the batch pipeline; a second invocation
