@@ -187,6 +187,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orders_by_segment"] = lambda spark, sf: relational.orders_by_segment(
         _t(spark, sf, "orders"), _t(spark, sf, "customer")
     )
+    q["revenue_by_nation"] = lambda spark, sf: relational.revenue_by_nation(
+        _t(spark, sf, "lineitem"), _t(spark, sf, "supplier"), _t(spark, sf, "nation")
+    )
+    q["top_open_orders"] = lambda spark, sf: relational.top_open_orders(
+        _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    )
     q["events_hourly"] = lambda spark, sf: relational.events_hourly(_t(spark, sf, "events"))
     q["sessionize"] = lambda spark, sf: relational.sessionize(_t(spark, sf, "events"))
 
@@ -490,6 +496,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
         "CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_cents "
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    )
+    sql["revenue_by_nation"] = (
+        "SELECT n_name, CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) "
+        "AS revenue_cents FROM lineitem "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name"
+    )
+    sql["top_open_orders"] = (
+        "WITH j AS (SELECT o_orderkey, c_custkey, o_totalprice, "
+        " row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        " FROM orders JOIN customer ON o_custkey = c_custkey "
+        " WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F') "
+        "SELECT o_orderkey, c_custkey, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents FROM j WHERE rn <= 10"
     )
     sql["events_hourly"] = (
         "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type, "

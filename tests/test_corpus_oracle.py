@@ -44,6 +44,8 @@ CORPUS_QUERIES = [
     "embedding_near_dups",
     "ann_lsh_buckets",
     "ann_ivf_assign",
+    "revenue_by_nation",
+    "top_open_orders",
 ]
 
 

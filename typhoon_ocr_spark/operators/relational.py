@@ -130,6 +130,44 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def revenue_by_nation(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Multi-way star join + rollup (TPC-H Q5 shape): revenue per
+    supplier nation. Both dimension sides broadcast — the fact table
+    never shuffles for the joins, only for the final aggregation.
+    Output: (n_name, n_items, revenue_cents)."""
+    return (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            ).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def top_open_orders(orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
+    """Q3-shaped join + filter + deterministic top-k: largest open
+    orders in the BUILDING segment, ties by orderkey.
+    Output: (o_orderkey, c_custkey, total_cents)."""
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("o_orderstatus") != "F"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (the batch twin of a custom
     stateful streaming operator — applyInPandasWithState would carry
