@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter(F.col("kind") == "html")
         .select("url", F.col("text").alias("extracted_text"))
     )
+    q["extract_image_anchors"] = lambda spark, sf: (
+        extract_pages(_pages(spark, sf))
+        .filter((F.col("kind") == "image") & F.col("success"))
+        .select("url", "anchor_text")
+    )
     q["kind_routing"] = lambda spark, sf: classify_pages(_pages(spark, sf)).select(
         "url", "kind"
     )
@@ -249,6 +254,11 @@ def oracle_sql() -> dict[str, str]:
     sql["extract_html_text"] = (
         f"SELECT url, text AS extracted_text "
         f"FROM read_parquet('{fx}/expected_pages.parquet') WHERE kind = 'html'"
+    )
+    sql["extract_image_anchors"] = (
+        f"SELECT url, anchor_text "
+        f"FROM read_parquet('{fx}/expected_pages.parquet') "
+        f"WHERE kind = 'image' AND success"
     )
     sql["kind_routing"] = (
         f"SELECT url, kind FROM read_parquet('{fx}/expected_docs.parquet')"

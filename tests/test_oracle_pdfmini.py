@@ -136,3 +136,98 @@ def test_extract_document_junk():
     assert doc.kind == "junk"
     assert not doc.success
     assert doc.extracted_text == ""
+
+
+# --------------------------------------------------------------------------
+# Compressed streams / xref streams / ObjStm (round 2; pypdf handles
+# these transparently for the reference — ocr_utils.py:358-388)
+# --------------------------------------------------------------------------
+
+def _rich_writer() -> MiniPdfWriter:
+    w = MiniPdfWriter()
+    w.add_page((0, 0, 400, 600)).text(72, 500, "hello world")
+    w.text_tj(80, 300, ["split", " joined"])
+    w.image("Im1", 50, 60, 100, 110)
+    w.add_page().text_lines(90, 680, 16, ["l1 alpha", "l2 beta"])
+    w.text(100, 100, "thai ไทย", mode="Tm")
+    return w
+
+
+def test_flate_golden_matches_uncompressed_twin():
+    plain = _rich_writer().build()
+    flate = _rich_writer().build(compress=True)
+    assert b"/FlateDecode" in flate and b"/FlateDecode" not in plain
+    assert repr(parse_pdf(flate)) == repr(parse_pdf(plain))
+    # byte-identical anchors, page for page
+    for a, b in zip(parse_pdf(plain), parse_pdf(flate)):
+        assert linearize_page(a) == linearize_page(b)
+
+
+def test_xref_stream_with_png_predictor():
+    plain = _rich_writer().build()
+    xs = _rich_writer().build(compress=True, xref_stream=True)
+    assert b"/Type /XRef" in xs and b"/Predictor 12" in xs and b"trailer" not in xs
+    assert repr(parse_pdf(xs)) == repr(parse_pdf(plain))
+    assert page_count(xs) == 2
+
+
+def test_objstm_packed_objects():
+    plain = _rich_writer().build()
+    packed = _rich_writer().build(compress=True, objstm=True)
+    assert b"/Type /ObjStm" in packed
+    # catalog/pages/page dicts no longer appear as top-level plaintext
+    assert b"/Type /Catalog" not in packed.replace(b"/Type /ObjStm", b"")[:200]
+    assert repr(parse_pdf(packed)) == repr(parse_pdf(plain))
+
+
+def test_unknown_filter_is_loud():
+    import pytest
+
+    from typhoon_ocr_spark.oracle.pdfmini import MiniPdfError
+
+    bad = _rich_writer().build(compress=True).replace(
+        b"/Filter /FlateDecode", b"/Filter /LZWDecode00"
+    )
+    with pytest.raises(MiniPdfError):
+        parse_pdf(bad)
+    # ...and through the pipeline it becomes an error row, not empty text
+    doc = extract_document("http://t/filt", bad)
+    assert doc.kind == "pdf" and not doc.success
+    assert "unsupported stream filter" in doc.pages[0].error
+
+
+def test_corrupt_flate_is_loud():
+    import pytest
+
+    from typhoon_ocr_spark.oracle.pdfmini import MiniPdfError
+
+    data = _rich_writer().build(compress=True)
+    # corrupt the first compressed content stream's bytes
+    idx = data.find(b"stream\n", data.find(b"/FlateDecode")) + len(b"stream\n")
+    bad = data[:idx] + b"\x00\x00\x00\x00" + data[idx + 4 :]
+    with pytest.raises(MiniPdfError):
+        parse_pdf(bad)
+
+
+def test_classic_xref_prev_chain_ignores_regex_false_positives():
+    # compressed bytes may contain 'N 0 obj'-like patterns; the xref
+    # table, not the brute-force scan, must drive object resolution
+    data = _rich_writer().build(compress=True)
+    assert repr(parse_pdf(data)) == repr(parse_pdf(_rich_writer().build()))
+
+
+def test_asciihex_filter():
+    plain = _rich_writer().build()
+    # hand-convert the first content stream to ASCIIHexDecode
+    start = plain.find(b"stream\n") + 7
+    end = plain.find(b"\nendstream", start)
+    body = plain[start:end]
+    hexed = body.hex().encode() + b">"
+    patched = (
+        plain[: plain.rfind(b"<<", 0, start)]
+        + b"<< /Filter /ASCIIHexDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(hexed), hexed)
+        + plain[end + len(b"\nendstream") :]
+    )
+    reports = parse_pdf(patched)  # offsets shifted → regex fallback path
+    assert reports[0].text_elements[0].text == "hello world"

@@ -33,7 +33,8 @@ from pyspark.sql.types import (
 
 from ..oracle.elements import BoundingBox, ImageElement, PageReport, TextElement
 from ..oracle.htmlstrip import strip_html_boilerplate
-from ..oracle.linearize import linearize_page, truncation_rng
+from ..oracle.images import image_dimensions
+from ..oracle.linearize import anchor_from_image_dims, linearize_page, truncation_rng
 from ..oracle.mdflatten import markdown_to_plain_text
 from ..oracle.pdfmini import parse_pdf
 from ..oracle.prompts import render_prompt
@@ -85,19 +86,32 @@ PAGE_STRUCT = StructType(
 def sniff_kind_col(html_col: str = "html") -> Column:
     """Payload routing as pure JVM expressions — no Python, no UDF
     (engine-side replacement for the extension dispatch at
-    /root/reference/packages/typhoon_ocr/typhoon_ocr/ocr_utils.py:562).
+    /root/reference/packages/typhoon_ocr/typhoon_ocr/ocr_utils.py:562;
+    raster allowlist per routes/ocr.py:75-82).
 
-    pdf:  first 5 bytes are the %PDF- magic (X'255044462D');
-    html: lossy-decoded 256-byte head, left-trimmed, starts with '<';
-    junk: everything else (incl. NULL/empty payloads).
+    pdf:   first 5 bytes are the %PDF- magic (X'255044462D');
+    image: PNG / JPEG / GIF / WebP magic bytes;
+    html:  lossy-decoded 256-byte head, left-trimmed, starts with '<';
+    junk:  everything else (incl. NULL/empty payloads).
     """
     col = F.col(html_col)
     is_pdf = F.substring(col, 1, 5) == F.lit(b"%PDF-")
+    is_image = (
+        (F.substring(col, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
+        | (F.substring(col, 1, 3) == F.lit(b"\xff\xd8\xff"))
+        | (F.substring(col, 1, 6) == F.lit(b"GIF87a"))
+        | (F.substring(col, 1, 6) == F.lit(b"GIF89a"))
+        | (
+            (F.substring(col, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(col, 9, 4) == F.lit(b"WEBP"))
+        )
+    )
     head = F.ltrim(F.substring(col, 1, 256).cast("string"))
     is_html = F.startswith(head, F.lit("<"))
     return (
         F.when(col.isNull() | (F.length(col) == 0), F.lit("junk"))
         .when(is_pdf, F.lit("pdf"))
+        .when(is_image, F.lit("image"))
         .when(is_html, F.lit("html"))
         .otherwise(F.lit("junk"))
     )
@@ -190,6 +204,14 @@ def stage_pages_udf(
         if k == "html" and blob is not None:
             try:
                 return [_page_row(1, text=strip_html_boilerplate(bytes(blob)))]
+            except Exception as exc:
+                return [_page_row(1, error=f"Error processing document: {exc}")]
+        if k == "image" and blob is not None:
+            # raster branch: whole-image anchor from header dims
+            # (ocr_utils.py:502-506; dispatch 562-579)
+            try:
+                w, h = image_dimensions(bytes(blob))
+                return [_page_row(1, text=anchor_from_image_dims(w, h))]
             except Exception as exc:
                 return [_page_row(1, error=f"Error processing document: {exc}")]
         return [_page_row(1, error="unsupported payload")]

@@ -92,7 +92,7 @@ def extract_pages(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -
         "url",
         "kind",
         "page",
-        F.when(F.col("kind") == "pdf", F.col("anchor_or_text"))
+        F.when(F.col("kind").isin("pdf", "image"), F.col("anchor_or_text"))
         .otherwise(F.lit(None).cast("string"))
         .alias("anchor_text"),
         F.when(F.col("error").isNotNull(), F.lit(""))  # failed page rows

@@ -18,25 +18,35 @@ from dataclasses import dataclass
 from typing import List, Optional, Union
 
 from .htmlstrip import strip_html_boilerplate
-from .linearize import DEFAULT_ANCHOR_BUDGET, linearize_page, truncation_rng
+from .images import image_dimensions, sniff_image_kind
+from .linearize import (
+    DEFAULT_ANCHOR_BUDGET,
+    anchor_from_image_dims,
+    linearize_page,
+    truncation_rng,
+)
 from .pdfmini import parse_pdf
 
 KIND_PDF = "pdf"
 KIND_HTML = "html"
+KIND_IMAGE = "image"
 KIND_JUNK = "junk"
 
 _SNIFF_WINDOW = 256
 
 
 def sniff_kind(payload: Optional[Union[bytes, bytearray]]) -> str:
-    """Route a raw payload: %PDF- magic → pdf; leading '<' after a lossy
-    utf-8 decode of the first 256 bytes (whitespace allowed) → html;
-    anything else → junk."""
+    """Route a raw payload: %PDF- magic → pdf; PNG/JPEG/GIF/WebP magic
+    → image (the reference's raster allowlist, routes/ocr.py:75-82);
+    leading '<' after a lossy utf-8 decode of the first 256 bytes
+    (whitespace allowed) → html; anything else → junk."""
     if not payload:
         return KIND_JUNK
     head = bytes(payload[:_SNIFF_WINDOW])
     if head.startswith(b"%PDF-"):
         return KIND_PDF
+    if sniff_image_kind(head) is not None:
+        return KIND_IMAGE
     text_head = head.decode("utf-8", errors="replace").lstrip()
     if text_head.startswith("<"):
         return KIND_HTML
@@ -72,6 +82,16 @@ def extract_document(
     if kind == KIND_HTML:
         text = strip_html_boilerplate(payload)
         pages = [PageResult(1, None, text, True, None)]
+    elif kind == KIND_IMAGE:
+        # Whole-image anchor from the header dimensions — the raster
+        # analog of the reference's image_to_pdf → get_anchor_text_from_
+        # image path (ocr_utils.py:502-506, 562-579).
+        try:
+            w, h = image_dimensions(payload)
+            anchor = anchor_from_image_dims(w, h)
+            pages = [PageResult(1, anchor, anchor, True, None)]
+        except Exception as exc:
+            pages = [PageResult(1, None, "", False, f"Error processing document: {exc}")]
     elif kind == KIND_PDF:
         try:
             reports = parse_pdf(payload)

@@ -13,14 +13,20 @@ exact placement semantics. Fixture PDFs (written by ``MiniPdfWriter``)
 stay inside that subset and always reposition before each show op, so
 glyph-advance modeling is not needed.
 
-Supported file structure: classic xref, uncompressed streams, page
-tree with nested /Kids, /MediaBox and /Resources inheritable from
-parent nodes, single or array /Contents.
+Supported file structure: classic xref tables AND cross-reference
+streams (PDF 1.5+), /Prev chains and hybrid /XRefStm files, objects
+packed into /ObjStm object streams, stream filters /FlateDecode
+(with PNG predictors 10-15, the form xref streams use) and
+/ASCIIHexDecode, page tree with nested /Kids, /MediaBox and
+/Resources inheritable from parent nodes, single or array /Contents.
+Any other /Filter raises MiniPdfError so the page surfaces as a
+visible error row instead of silently-empty success text.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 from typing import Dict, List, Optional, Tuple, Union
 
 from .elements import (
@@ -252,23 +258,318 @@ def _index_objects(data: bytes) -> Dict[int, int]:
     return table
 
 
+# --------------------------------------------------------------------------
+# Stream filters (pypdf handles these transparently for the reference,
+# ocr_utils.py:358-388; here they are explicit and bounded: FlateDecode
+# + PNG predictors + ASCIIHexDecode, anything else is a loud error)
+# --------------------------------------------------------------------------
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Reverse PNG row filters (predictors 10-15 share this decoder)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos, n = 0, len(data)
+    while pos < n:
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos : pos + rowlen])
+        pos += rowlen
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise MiniPdfError(f"unknown PNG row filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(raw: bytes, info: dict, deref) -> bytes:
+    """Apply the stream's /Filter chain. Raises MiniPdfError for any
+    filter outside the supported set so real-world exotica surface as
+    error rows, never silently-empty text (ADVICE round 1)."""
+    filters = deref(info.get("/Filter"))
+    if filters is None:
+        return raw
+    if not isinstance(filters, list):
+        filters = [filters]
+    parms = deref(info.get("/DecodeParms", info.get("/DP")))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    for filt, parm in zip(filters, parms):
+        filt = deref(filt)
+        parm = deref(parm)
+        if filt == "/FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as exc:
+                raise MiniPdfError(f"bad Flate stream: {exc}") from exc
+            if isinstance(parm, dict):
+                predictor = deref(parm.get("/Predictor", 1)) or 1
+                if predictor >= 10:
+                    raw = _png_unpredict(
+                        raw,
+                        int(deref(parm.get("/Columns", 1)) or 1),
+                        int(deref(parm.get("/Colors", 1)) or 1),
+                        int(deref(parm.get("/BitsPerComponent", 8)) or 8),
+                    )
+                elif predictor != 1:
+                    raise MiniPdfError(f"unsupported predictor {predictor}")
+        elif filt == "/ASCIIHexDecode":
+            body = raw.split(b">", 1)[0]
+            digits = _HEX_FILTER_RE.sub(b"", body)
+            if len(digits) % 2:
+                digits += b"0"
+            raw = bytes.fromhex(digits.decode("ascii"))
+        else:
+            raise MiniPdfError(f"unsupported stream filter {filt}")
+    return raw
+
+
+# --------------------------------------------------------------------------
+# Cross-reference parsing: classic tables, xref streams, /Prev chains,
+# hybrid /XRefStm. Entries from newer sections win (first-seen-wins as
+# the chain walks newest → oldest).
+# --------------------------------------------------------------------------
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+
+
+def _stream_extent(data: bytes, lex_pos: int, info: dict, deref) -> Tuple[int, int]:
+    """(start, end) of the raw stream bytes for a stream object whose
+    dict has just been lexed (lexer position = lex_pos)."""
+    m = re.compile(rb"stream(\r\n|\n|\r)").search(data, lex_pos)
+    if not m:
+        raise MiniPdfError("stream keyword missing")
+    start = m.end()
+    length = deref(info.get("/Length"))
+    if isinstance(length, int):
+        return start, start + length
+    end = data.find(b"endstream", start)
+    return start, end if end >= 0 else len(data)
+
+
+def _parse_xref_stream_at(data: bytes, pos: int, offsets, objstms, trailer) -> Optional[int]:
+    """Parse one cross-reference stream object; returns /Prev or None."""
+    m = _OBJ_RE.match(data, pos) or _OBJ_RE.search(data, pos, pos + 64)
+    if not m:
+        raise MiniPdfError("xref stream object header missing")
+    lex = _Lexer(data, m.end())
+    info = lex.next_token()
+    if not isinstance(info, dict):
+        raise MiniPdfError("xref stream dict missing")
+
+    def deref(v):  # xref streams must be self-contained (direct values)
+        return v
+
+    start, end = _stream_extent(data, lex.pos, info, deref)
+    body = _decode_stream(data[start:end], info, deref)
+
+    widths = [int(w) for w in info.get("/W", [])]
+    if len(widths) != 3:
+        raise MiniPdfError("xref stream /W malformed")
+    size = int(info.get("/Size", 0))
+    index = info.get("/Index") or [0, size]
+    rowlen = sum(widths)
+
+    rows = [
+        (int(index[i]), int(index[i + 1])) for i in range(0, len(index) - 1, 2)
+    ]
+    pos_b = 0
+    for first, count in rows:
+        for num in range(first, first + count):
+            chunk = body[pos_b : pos_b + rowlen]
+            pos_b += rowlen
+            if len(chunk) < rowlen:
+                raise MiniPdfError("xref stream truncated")
+            o = 0
+            f1 = int.from_bytes(chunk[: widths[0]], "big") if widths[0] else 1
+            o += widths[0]
+            f2 = int.from_bytes(chunk[o : o + widths[1]], "big")
+            o += widths[1]
+            f3 = int.from_bytes(chunk[o : o + widths[2]], "big")
+            if num in offsets or num in objstms:
+                continue  # newer section already defined it
+            if f1 == 1:
+                offsets[num] = f2
+            elif f1 == 2:
+                objstms[num] = (f2, f3)
+            # type 0 (free): ignore
+    for key in ("/Root", "/Size", "/Info"):
+        if key in info and key not in trailer:
+            trailer[key] = info[key]
+    prev = info.get("/Prev")
+    return int(prev) if isinstance(prev, (int, float)) else None
+
+
+def _parse_classic_xref_at(data: bytes, pos: int, offsets, objstms, trailer) -> Optional[int]:
+    """Parse one classic xref table + trailer; returns /Prev or None."""
+    lex = _Lexer(data, pos)
+    lex._skip_ws()
+    if data[lex.pos : lex.pos + 4] != b"xref":
+        raise MiniPdfError("not a classic xref table")
+    lex.pos += 4
+    while True:
+        lex._skip_ws()
+        if data[lex.pos : lex.pos + 7] == b"trailer":
+            lex.pos += 7
+            break
+        m = re.compile(rb"(\d+)\s+(\d+)").match(data, lex.pos)
+        if not m:
+            raise MiniPdfError("xref subsection header malformed")
+        first, count = int(m.group(1)), int(m.group(2))
+        lex.pos = m.end()
+        for num in range(first, first + count):
+            lex._skip_ws()
+            em = _XREF_ENTRY_RE.match(data, lex.pos)
+            if not em:
+                raise MiniPdfError("xref entry malformed")
+            lex.pos = em.end()
+            if em.group(3) == b"n" and num not in offsets and num not in objstms:
+                offsets[num] = int(em.group(1))
+    tdict = lex.next_token()
+    if not isinstance(tdict, dict):
+        raise MiniPdfError("trailer dict missing")
+    for key in ("/Root", "/Size", "/Info"):
+        if key in tdict and key not in trailer:
+            trailer[key] = tdict[key]
+    hybrid = tdict.get("/XRefStm")
+    if isinstance(hybrid, (int, float)):
+        try:
+            _parse_xref_stream_at(data, int(hybrid), offsets, objstms, trailer)
+        except MiniPdfError:
+            pass
+    prev = tdict.get("/Prev")
+    return int(prev) if isinstance(prev, (int, float)) else None
+
+
+def _load_xref(data: bytes) -> Tuple[Dict[int, int], Dict[int, Tuple[int, int]], dict]:
+    """Walk the xref chain from the trailing startxref. Returns
+    (raw offsets of 'N G obj' headers, objnum → (objstm, index), trailer)."""
+    m = None
+    for m in _STARTXREF_RE.finditer(data, max(0, len(data) - 4096)):
+        pass
+    if not m:
+        raise MiniPdfError("startxref missing")
+    offsets: Dict[int, int] = {}
+    objstms: Dict[int, Tuple[int, int]] = {}
+    trailer: dict = {}
+    pos: Optional[int] = int(m.group(1))
+    seen = set()
+    while pos is not None and pos not in seen and 0 <= pos < len(data):
+        seen.add(pos)
+        probe = data[pos : pos + 8].lstrip(_WS)
+        if probe.startswith(b"xref"):
+            pos = _parse_classic_xref_at(data, pos, offsets, objstms, trailer)
+        else:
+            pos = _parse_xref_stream_at(data, pos, offsets, objstms, trailer)
+    if not offsets and not objstms:
+        raise MiniPdfError("empty xref chain")
+    return offsets, objstms, trailer
+
+
 class _Document:
     def __init__(self, data: bytes) -> None:
         if not data.startswith(b"%PDF-"):
             raise MiniPdfError("missing %PDF- header")
         self.data = data
-        self.offsets = _index_objects(data)
+        self.trailer: dict = {}
+        self.objstm_refs: Dict[int, Tuple[int, int]] = {}
+        offsets: Dict[int, int] = {}
+        try:
+            raw_offsets, self.objstm_refs, self.trailer = _load_xref(data)
+            # normalize: xref offsets point at 'N G obj'; keep the
+            # body offset, dropping entries whose header doesn't match
+            # (damaged offsets fall through to the brute-force index)
+            for num, off in raw_offsets.items():
+                m = _OBJ_RE.match(data, off) or _OBJ_RE.search(data, off, off + 32)
+                if m and int(m.group(1)) == num:
+                    offsets[num] = m.end()
+        except MiniPdfError:
+            pass
+        if not offsets and not self.objstm_refs:
+            offsets = _index_objects(data)  # damaged-file fallback
+            self._scanned = True
+        else:
+            self._scanned = False
+        self.offsets = offsets
         self._cache: Dict[int, object] = {}
+        self._objstm_cache: Dict[int, Dict[int, object]] = {}
+
+    def _resolve_offset(self, num: int) -> Optional[int]:
+        off = self.offsets.get(num)
+        if off is None and not self._scanned:
+            # lazy gap-filler for damaged/patched files: brute-force
+            # index fills only entries the xref chain didn't provide
+            self._scanned = True
+            try:
+                for n, o in _index_objects(self.data).items():
+                    self.offsets.setdefault(n, o)
+            except MiniPdfError:
+                pass
+            off = self.offsets.get(num)
+        return off
 
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
-        off = self.offsets.get(num)
-        if off is None:
-            raise MiniPdfError(f"missing object {num}")
-        value = _Lexer(self.data, off).next_token()
+        if num in self.objstm_refs and num not in self.offsets:
+            container, _idx = self.objstm_refs[num]
+            members = self._objstm_members(container)
+            if num not in members:
+                raise MiniPdfError(f"object {num} missing from ObjStm {container}")
+            value = members[num]
+        else:
+            off = self._resolve_offset(num)
+            if off is None:
+                raise MiniPdfError(f"missing object {num}")
+            value = _Lexer(self.data, off).next_token()
         self._cache[num] = value
         return value
+
+    def _objstm_members(self, container: int) -> Dict[int, object]:
+        """Decompress an /ObjStm and parse every member object."""
+        cached = self._objstm_cache.get(container)
+        if cached is not None:
+            return cached
+        info = self.obj(container)
+        if not isinstance(info, dict) or info.get("/Type") != "/ObjStm":
+            raise MiniPdfError(f"object {container} is not an ObjStm")
+        body = self.stream_bytes(container)
+        n = int(self.deref(info.get("/N", 0)) or 0)
+        first = int(self.deref(info.get("/First", 0)) or 0)
+        header = _Lexer(body)
+        pairs: List[Tuple[int, int]] = []
+        for _ in range(n):
+            onum = header.next_token()
+            ooff = header.next_token()
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                raise MiniPdfError("ObjStm header malformed")
+            pairs.append((onum, ooff))
+        members = {
+            onum: _Lexer(body, first + ooff).next_token() for onum, ooff in pairs
+        }
+        self._objstm_cache[container] = members
+        return members
 
     def deref(self, value):
         while isinstance(value, tuple) and len(value) == 2 and value[0] == "ref":
@@ -276,21 +577,20 @@ class _Document:
         return value
 
     def stream_bytes(self, num: int) -> bytes:
-        off = self.offsets[num]
+        off = self._resolve_offset(num)
+        if off is None:
+            raise MiniPdfError(f"stream object {num} missing (streams can't live in ObjStm)")
         lex = _Lexer(self.data, off)
         info = lex.next_token()  # the stream dict
-        m = re.compile(rb"stream(\r\n|\n|\r)").search(self.data, lex.pos)
-        if not m:
+        if not isinstance(info, dict):
             return b""
-        start = m.end()
-        if isinstance(info, dict):
-            length = self.deref(info.get("/Length"))
-            if isinstance(length, int):
-                return self.data[start : start + length]
-        end = self.data.find(b"endstream", start)
-        return self.data[start : end if end >= 0 else len(self.data)]
+        start, end = _stream_extent(self.data, lex.pos, info, self.deref)
+        return _decode_stream(self.data[start:end], info, self.deref)
 
     def catalog(self) -> dict:
+        root = self.deref(self.trailer.get("/Root"))
+        if isinstance(root, dict):
+            return root
         m = None
         for m in re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", self.data):
             pass
@@ -298,8 +598,12 @@ class _Document:
             cat = self.deref(("ref", int(m.group(1))))
             if isinstance(cat, dict):
                 return cat
-        # fallback: scan for /Type /Catalog
+        # fallback: scan for /Type /Catalog (top-level then packed)
         for num in self.offsets:
+            candidate = self.obj(num)
+            if isinstance(candidate, dict) and candidate.get("/Type") == "/Catalog":
+                return candidate
+        for num in list(self.objstm_refs):
             candidate = self.obj(num)
             if isinstance(candidate, dict) and candidate.get("/Type") == "/Catalog":
                 return candidate
@@ -580,16 +884,41 @@ class MiniPdfWriter:
         self._page()["ops"].append(ops)
         return self
 
-    def build(self) -> bytes:
+    def build(
+        self,
+        compress: bool = False,
+        xref_stream: bool = False,
+        objstm: bool = False,
+    ) -> bytes:
+        """Serialize. ``compress`` Flate-encodes content streams (the
+        real-world norm); ``xref_stream`` writes a PDF-1.5 cross-
+        reference stream (Flate + PNG Up predictor) instead of a
+        classic table; ``objstm`` (implies xref_stream) packs the
+        catalog/pages/page dicts into a compressed /ObjStm with type-2
+        xref entries. All modes parse back byte-identically."""
+        if objstm:
+            xref_stream = True
         if not self._pages:
             self.add_page()
-        chunks: List[bytes] = [b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"]
+        header = b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n"
+        chunks: List[bytes] = [header + b"%\xe2\xe3\xcf\xd3\n"]
         offsets: Dict[int, int] = {}
+        in_objstm: Dict[int, int] = {}  # obj num -> index within ObjStm
         next_num = 1
 
         def emit(num: int, body: bytes) -> None:
             offsets[num] = sum(len(c) for c in chunks)
             chunks.append(b"%d 0 obj\n%s\nendobj\n" % (num, body))
+
+        def emit_stream(num: int, dict_body: bytes, payload: bytes, flate: bool) -> None:
+            if flate:
+                payload = zlib.compress(payload, 6)
+                dict_body += b" /Filter /FlateDecode"
+            emit(
+                num,
+                b"<< %s /Length %d >>\nstream\n%s\nendstream"
+                % (dict_body, len(payload), payload),
+            )
 
         catalog_num = next_num; next_num += 1
         pages_num = next_num; next_num += 1
@@ -603,13 +932,15 @@ class MiniPdfWriter:
                 image_nums[img_name] = next_num; next_num += 1
             page_plan.append((page, page_num, content_num, image_nums))
 
-        emit(catalog_num, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
-        kids = b" ".join(b"%d 0 R" % p[1] for p in page_plan)
-        emit(
-            pages_num,
-            b"<< /Type /Pages /Count %d /Kids [%s] >>" % (len(page_plan), kids),
-        )
-
+        # dict-only objects: either emitted top-level or packed in ObjStm
+        dict_objs: List[Tuple[int, bytes]] = [
+            (catalog_num, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num),
+            (
+                pages_num,
+                b"<< /Type /Pages /Count %d /Kids [%s] >>"
+                % (len(page_plan), b" ".join(b"%d 0 R" % p[1] for p in page_plan)),
+            ),
+        ]
         for page, page_num, content_num, image_nums in page_plan:
             mb = b" ".join(_fmt(v) for v in page["mediabox"])
             xobj = b""
@@ -622,36 +953,96 @@ class MiniPdfWriter:
                 b"/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 "
                 b"/BaseFont /Helvetica >> >>%s >>" % xobj
             )
-            emit(
-                page_num,
-                b"<< /Type /Page /Parent %d 0 R /MediaBox [%s] %s /Contents %d 0 R >>"
-                % (pages_num, mb, resources, content_num),
+            dict_objs.append(
+                (
+                    page_num,
+                    b"<< /Type /Page /Parent %d 0 R /MediaBox [%s] %s /Contents %d 0 R >>"
+                    % (pages_num, mb, resources, content_num),
+                )
             )
+
+        if objstm:
+            objstm_num = next_num; next_num += 1
+            parts: List[bytes] = []
+            head: List[bytes] = []
+            pos = 0
+            for idx, (num, body) in enumerate(dict_objs):
+                head.append(b"%d %d" % (num, pos))
+                parts.append(body)
+                pos += len(body) + 1
+                in_objstm[num] = idx
+            header_blob = b" ".join(head) + b"\n"
+            payload = header_blob + b"\n".join(parts) + b"\n"
+            emit_stream(
+                objstm_num,
+                b"/Type /ObjStm /N %d /First %d" % (len(dict_objs), len(header_blob)),
+                payload,
+                flate=True,
+            )
+        else:
+            for num, body in dict_objs:
+                emit(num, body)
+
+        for page, page_num, content_num, image_nums in page_plan:
             stream = b"\n".join(page["ops"])
-            emit(
-                content_num,
-                b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
-            )
+            emit_stream(content_num, b"", stream, flate=compress)
             for name, num in image_nums.items():
                 w, h = page["images"][name]
                 pixels = bytes((w * h) % 251 for _ in range(3))
-                emit(
+                emit_stream(
                     num,
-                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
-                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length %d >>\n"
-                    b"stream\n%s\nendstream" % (w, h, len(pixels), pixels),
+                    b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceRGB /BitsPerComponent 8" % (w, h),
+                    pixels,
+                    flate=False,
                 )
 
-        xref_pos = sum(len(c) for c in chunks)
-        count = next_num
-        xref = [b"xref\n0 %d\n" % count, b"0000000000 65535 f \n"]
-        for num in range(1, count):
-            xref.append(b"%010d 00000 n \n" % offsets.get(num, 0))
-        chunks.append(b"".join(xref))
-        chunks.append(
-            b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (count, catalog_num, xref_pos)
-        )
+        if xref_stream:
+            xref_num = next_num; next_num += 1
+            count = next_num
+            xref_pos = sum(len(c) for c in chunks)
+            offsets[xref_num] = xref_pos  # self-entry
+            rowlen = 1 + 4 + 2
+            rows = bytearray()
+            for num in range(count):
+                if num == 0:
+                    row = b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+                elif num in in_objstm:
+                    row = (
+                        b"\x02"
+                        + objstm_num.to_bytes(4, "big")
+                        + in_objstm[num].to_bytes(2, "big")
+                    )
+                else:
+                    row = b"\x01" + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+                rows += row
+            # PNG Up predictor (12): exercises the predictor decoder
+            pred = bytearray()
+            prev = bytes(rowlen)
+            for i in range(0, len(rows), rowlen):
+                row = rows[i : i + rowlen]
+                pred.append(2)
+                pred += bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+                prev = row
+            payload = zlib.compress(bytes(pred), 6)
+            chunks.append(
+                b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+                b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> "
+                b"/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+                % (xref_num, count, catalog_num, rowlen, len(payload), payload)
+            )
+            chunks.append(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+        else:
+            xref_pos = sum(len(c) for c in chunks)
+            count = next_num
+            xref = [b"xref\n0 %d\n" % count, b"0000000000 65535 f \n"]
+            for num in range(1, count):
+                xref.append(b"%010d 00000 n \n" % offsets.get(num, 0))
+            chunks.append(b"".join(xref))
+            chunks.append(
+                b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+                % (count, catalog_num, xref_pos)
+            )
         return b"".join(chunks)
 
 
