@@ -63,10 +63,72 @@ def test_metrics_rows(spark, pages_path, tmp_path):
     metrics = job.metrics()
     assert len(metrics) == 4
     total_html = sum(m["n_html"] for m in metrics)
+    total_image = sum(m["n_image"] for m in metrics)
     total_junk = sum(m["n_junk"] for m in metrics)
-    assert total_html > 0 and total_junk > 0
+    assert total_html > 0 and total_image > 0 and total_junk > 0
     assert all(m["wall_ms"] > 0 for m in metrics)
     assert all(m["run_id"] == job.run_id for m in metrics)
+
+
+def test_layout_partition_pruning(spark, pages_path, tmp_path):
+    """Each bucket's read touches ONLY its own layout files — the input
+    is scanned twice total (stage + pruned per-bucket reads), not once
+    per bucket (VERDICT round 1 #3)."""
+    job = ResumableExtractJob(spark, pages_path, str(tmp_path / "o"), n_buckets=4)
+    job.run()
+    for bucket in (0, 3):
+        frame = job._bucket_frame(bucket)
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert f"PartitionFilters: [isnotnull(bucket#" in plan
+        assert f"= {bucket})]" in plan
+        assert frame.count() > 0  # fixture corpus hashes into every bucket
+
+
+def test_stale_snapshot_fails_then_invalidates(spark, fixture_dir, tmp_path):
+    import shutil
+    import time as _time
+
+    src = str(tmp_path / "pages.parquet")
+    shutil.copy(os.path.join(fixture_dir, "pages.parquet"), src)
+    out = str(tmp_path / "o")
+    ResumableExtractJob(spark, src, out, n_buckets=4).run()
+
+    # simulate an input update
+    bump = _time.time() + 10
+    os.utime(src, (bump, bump))
+
+    # default policy: loud failure, no silent mixing
+    with pytest.raises(RuntimeError, match="input changed"):
+        ResumableExtractJob(spark, src, out, n_buckets=4).run()
+
+    # invalidate policy: stale buckets reprocessed against the new input
+    job3 = ResumableExtractJob(spark, src, out, n_buckets=4, stale_policy="invalidate")
+    summary = job3.run()
+    assert summary["processed"] == 4
+    final = job3.read_output()
+    assert final.count() == 200
+    assert final.select("url").distinct().count() == 200
+    # all output now carries the fresh snapshot
+    assert final.select("source_snapshot").distinct().count() == 1
+
+
+def test_stream_batch_replay_is_idempotent(spark, pages_path, tmp_path):
+    """A replayed foreachBatch invocation (crash between sink write and
+    checkpoint commit) must overwrite its own partition, not append
+    duplicates (ADVICE round 1)."""
+    from typhoon_ocr_spark.streaming.runner import write_stream_batch
+
+    df = spark.read.parquet(pages_path).limit(40)
+    out = str(tmp_path / "out")
+    write_stream_batch(df, 7, out)
+    first = spark.read.parquet(out)
+    n_first = first.count()
+    assert n_first == 40
+
+    write_stream_batch(df, 7, out)  # replay of the same batch
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == n_first
+    assert replayed.select("url").distinct().count() == n_first
 
 
 def test_rerun_is_noop_when_complete(spark, pages_path, tmp_path):

@@ -17,16 +17,23 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-def observed_page_frame(page_frame: DataFrame) -> Tuple[DataFrame, Observation]:
+def observed_page_frame(
+    page_frame: DataFrame, name: str = "extract_metrics"
+) -> Tuple[DataFrame, Observation]:
     """Attach job-level extraction counters to a page-level frame.
     After any action on the returned frame, ``observation.get`` yields
-    {n_pages, n_pdf_pages, n_html, n_junk, n_errors}."""
-    observation = Observation("extract_metrics")
+    {n_pages, n_pdf_pages, n_html, n_image, n_junk, n_errors}.
+
+    ``name`` must be unique per query — callers that observe several
+    frames in one job (e.g. the resumable runner, one per bucket) pass
+    a distinct name each time."""
+    observation = Observation(name)
     observed = page_frame.observe(
         observation,
         F.count(F.lit(1)).alias("n_pages"),
         F.sum((F.col("kind") == "pdf").cast("long")).alias("n_pdf_pages"),
         F.sum((F.col("kind") == "html").cast("long")).alias("n_html"),
+        F.sum((F.col("kind") == "image").cast("long")).alias("n_image"),
         F.sum((F.col("kind") == "junk").cast("long")).alias("n_junk"),
         F.sum((~F.col("success")).cast("long")).alias("n_errors"),
     )
