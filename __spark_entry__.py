@@ -33,6 +33,7 @@ from typhoon_ocr_spark.functions.textsql import (
     BPE_TOKEN_PATTERN,
     FINGERPRINT_NGRAM,
     MINHASH_BANDS,
+    MINHASH_MAX_BUCKET,
     MINHASH_PERMS,
     PUNCT_CLASS,
     SIMHASH_BITS,
@@ -173,6 +174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_assign"] = lambda spark, sf: similarity.ivf_assign(
         _t(spark, sf, "embeddings")
     )
+    q["ann_lsh_topk"] = lambda spark, sf: similarity.lsh_bucketed_topk(
+        _t(spark, sf, "embeddings")
+    )
+    q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_probed_topk(
+        _t(spark, sf, "embeddings")
+    )
 
     # --- relational skeleton (SURVEY §2.7) ---
     q["token_rollup"] = lambda spark, sf: relational.token_rollup(_t(spark, sf, "events"))
@@ -286,7 +293,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sig_exprs = ", ".join(
-        f"{duck_minhash_sig('sh', p)} AS sig_{p}" for p in range(MINHASH_PERMS)
+        f"{duck_minhash_sig('hs', p)} AS sig_{p}" for p in range(MINHASH_PERMS)
     )
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, CAST({b} AS BIGINT) AS band, md5({expr}) AS band_hash FROM sigs".format(
@@ -300,12 +307,15 @@ def oracle_sql() -> dict[str, str]:
     minhash_cte = (
         f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
         f"s AS (SELECT doc_id, {sh} AS sh FROM t), "
-        f"sigs AS (SELECT doc_id, {sig_exprs} FROM s WHERE len(sh) > 0), "
+        "hx AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs "
+        " FROM s WHERE len(sh) > 0), "
+        f"sigs AS (SELECT doc_id, {sig_exprs} FROM hx), "
         f"bands AS ({band_rows})"
     )
     pairs_tail = (
         "buckets AS (SELECT band, band_hash, list_sort(list(doc_id)) AS ids "
-        " FROM bands GROUP BY band, band_hash HAVING count(*) > 1)"
+        " FROM bands GROUP BY band, band_hash "
+        f" HAVING count(*) > 1 AND count(*) <= {MINHASH_MAX_BUCKET})"
     )
     pairs_select = (
         "SELECT DISTINCT a.x AS doc_a, b.x AS doc_b "
@@ -326,9 +336,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, {bit_exprs} AS simhash, CAST(len(hs) AS BIGINT) AS n_tokens FROM h"
     )
 
-    from typhoon_ocr_spark.operators.dedup import (
+    from typhoon_ocr_spark.functions.textsql import (
+        SIMHASH_MAX_BUCKET,
         SIMHASH_MAX_HAMMING,
-        SIMHASH_PREFIX_BITS,
+        simhash_segment_bounds,
     )
 
     ham = " + ".join(
@@ -336,35 +347,108 @@ def oracle_sql() -> dict[str, str]:
         "THEN 1 ELSE 0 END)"
         for j in range(1, SIMHASH_BITS + 1)
     )
+    seg_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS seg, "
+        f"substring(simhash, {start}, {length}) AS seg_val FROM sh"
+        for i, (start, length) in enumerate(simhash_segment_bounds())
+    )
     sql["simhash_near_dups"] = (
         f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
         "h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t), "
-        f"sh AS (SELECT doc_id, {bit_exprs} AS simhash FROM h) "
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming "
-        "FROM sh a JOIN sh b "
-        f"ON substring(a.simhash, 1, {SIMHASH_PREFIX_BITS}) = "
-        f"substring(b.simhash, 1, {SIMHASH_PREFIX_BITS}) AND a.doc_id < b.doc_id "
+        f"sh AS (SELECT doc_id, {bit_exprs} AS simhash FROM h), "
+        f"segs AS ({seg_rows}), "
+        "sized AS (SELECT *, count(*) OVER (PARTITION BY seg, seg_val) AS bsz FROM segs), "
+        f"capped AS (SELECT * FROM sized WHERE bsz > 1 AND bsz <= {SIMHASH_MAX_BUCKET}) "
+        f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        f"CAST({ham} AS BIGINT) AS hamming "
+        "FROM capped a JOIN capped b "
+        "ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id "
         f"WHERE {ham} <= {SIMHASH_MAX_HAMMING}"
     )
 
     from typhoon_ocr_spark.operators.similarity import (
+        ANN_LSH_PLANES_PER_TABLE,
+        ANN_LSH_TABLES,
+        EMB_MAX_BUCKET,
         IVF_CENTROID_EVERY,
+        IVF_PROBES,
         NEAR_DUP_COSINE,
         lsh_plane_signs,
     )
 
     # the hyperplanes are deterministic md5-derived constants shared by
     # both engines; inline them as DuckDB list literals
+    def bucket_bits_sql(planes, src="e"):
+        return " || ".join(
+            f"(CASE WHEN list_dot_product({src}, ["
+            + ", ".join(str(s) for s in signs)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for signs in planes
+        )
+
     planes = lsh_plane_signs(64, 8)
-    bucket_bits = " || ".join(
-        "(CASE WHEN list_dot_product(e, ["
-        + ", ".join(str(s) for s in signs)
-        + "]) >= 0 THEN '1' ELSE '0' END)"
-        for signs in planes
-    )
     sql["ann_lsh_buckets"] = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
-        f"SELECT vec_id, {bucket_bits} AS bucket FROM v"
+        f"SELECT vec_id, {bucket_bits_sql(planes)} AS bucket FROM v"
+    )
+
+    # multi-table LSH routing rows (shared by near-dups + bucketed topk)
+    mt_planes = lsh_plane_signs(64, ANN_LSH_TABLES * ANN_LSH_PLANES_PER_TABLE)
+    table_rows = " UNION ALL ".join(
+        f"SELECT vec_id, e, nrm, {t} AS t, "
+        + bucket_bits_sql(
+            mt_planes[t * ANN_LSH_PLANES_PER_TABLE : (t + 1) * ANN_LSH_PLANES_PER_TABLE]
+        )
+        + " AS bucket FROM n"
+        for t in range(ANN_LSH_TABLES)
+    )
+    mt_cte = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
+        f"tb AS ({table_rows}), "
+        "sized AS (SELECT vec_id, t, bucket, "
+        " count(*) OVER (PARTITION BY t, bucket) AS bsz FROM tb), "
+        f"capped AS (SELECT * FROM sized WHERE bsz > 1 AND bsz <= {EMB_MAX_BUCKET})"
+    )
+    sql["ann_lsh_topk"] = (
+        f"{mt_cte}, "
+        f"qb AS (SELECT vec_id AS query_id, t, bucket FROM tb WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        "cand AS (SELECT DISTINCT qb.query_id, tb.vec_id AS neighbor_id "
+        " FROM tb JOIN qb ON tb.t = qb.t AND tb.bucket = qb.bucket "
+        " AND tb.vec_id <> qb.query_id), "
+        "s AS (SELECT cand.query_id, cand.neighbor_id, "
+        " list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS score "
+        " FROM cand JOIN n c ON cand.neighbor_id = c.vec_id "
+        " JOIN n q ON cand.query_id = q.vec_id), "
+        "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER "
+        " (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM s) "
+        f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
+    )
+    sql["ann_ivf_topk"] = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
+        f"c AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n "
+        f" WHERE vec_id % {IVF_CENTROID_EVERY} = 0), "
+        "asg AS (SELECT vec_id, centroid_id FROM ("
+        " SELECT n.vec_id, c.centroid_id, row_number() OVER (PARTITION BY n.vec_id "
+        "  ORDER BY list_dot_product(n.e, c.ce) / (n.nrm * c.cn) DESC, c.centroid_id) AS rn "
+        " FROM n, c) WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n "
+        f" WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        "pr AS (SELECT query_id, centroid_id FROM ("
+        " SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id "
+        "  ORDER BY list_dot_product(q.qe, c.ce) / (q.qn * c.cn) DESC, c.centroid_id) AS prn "
+        f" FROM q, c) WHERE prn <= {IVF_PROBES}), "
+        "cand AS (SELECT DISTINCT pr.query_id, asg.vec_id AS neighbor_id "
+        " FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id "
+        " WHERE asg.vec_id <> pr.query_id), "
+        "s AS (SELECT cand.query_id, cand.neighbor_id, "
+        " list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS score "
+        " FROM cand JOIN n c ON cand.neighbor_id = c.vec_id "
+        " JOIN q ON cand.query_id = q.query_id), "
+        "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER "
+        " (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM s) "
+        f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
     )
     sql["ann_ivf_assign"] = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
@@ -380,11 +464,14 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql["embedding_near_dups"] = (
-        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
-        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v) "
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"{mt_cte}, "
+        "p AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b "
+        " FROM capped a JOIN capped b "
+        " ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+        "SELECT p.vec_a, p.vec_b, "
         "CAST(floor(100 * (list_dot_product(a.e, b.e) / (a.nrm * b.nrm))) AS BIGINT) "
-        "AS cos_pct FROM n a JOIN n b ON a.vec_id < b.vec_id "
+        "AS cos_pct FROM p "
+        "JOIN n a ON p.vec_a = a.vec_id JOIN n b ON p.vec_b = b.vec_id "
         f"WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > {NEAR_DUP_COSINE}"
     )
 

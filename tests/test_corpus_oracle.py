@@ -44,6 +44,8 @@ CORPUS_QUERIES = [
     "embedding_near_dups",
     "ann_lsh_buckets",
     "ann_ivf_assign",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "revenue_by_nation",
     "top_open_orders",
 ]

@@ -1,0 +1,104 @@
+"""Dedup scale-path semantics (round 2): pigeonhole SimHash recall and
+LSH bucket caps."""
+
+from pyspark.sql import functions as F
+
+from typhoon_ocr_spark.functions.textsql import SIMHASH_BITS
+from typhoon_ocr_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    simhash_pairs_from_fingerprints,
+)
+
+
+def _fp(bits: str) -> str:
+    assert len(bits) == SIMHASH_BITS
+    return bits
+
+
+def test_pigeonhole_finds_pairs_prefix_blocking_missed(spark):
+    """A pair differing only in the LEADING bits was invisible to the
+    round-1 prefix-8 blocking; pigeonhole segments must find it."""
+    rows = [
+        ("a", _fp("0000000000000000")),
+        ("b", _fp("1100000000000000")),  # hamming 2, both in bits 1-2
+        ("c", _fp("0000000000000011")),  # hamming 2 vs a, trailing bits
+        ("d", _fp("1111111100000000")),  # hamming 8 vs a — not a dup
+    ]
+    sh = spark.createDataFrame(rows, "doc_id string, simhash string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs_from_fingerprints(sh).collect()
+    }
+    assert ("a", "b", 2) in got  # leading-bit pair: the regression case
+    assert ("a", "c", 2) in got
+    assert ("b", "c", 4) not in got
+    assert all(h <= 2 for _, _, h in got)
+
+
+def test_pigeonhole_full_recall_exhaustive(spark):
+    """Every hamming<=2 pair over a random cohort is found (pigeonhole
+    guarantees it; prefix blocking provably can't)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    base = rng.getrandbits(SIMHASH_BITS)
+    fps = []
+    for i in range(40):
+        v = base
+        for _ in range(rng.randrange(0, 4)):  # 0-3 bit flips
+            v ^= 1 << rng.randrange(SIMHASH_BITS)
+        fps.append((f"d{i:02d}", format(v, f"0{SIMHASH_BITS}b")))
+    expected = {
+        (a, b, bin(int(fa, 2) ^ int(fb, 2)).count("1"))
+        for (a, fa), (b, fb) in itertools.combinations(fps, 2)
+        if bin(int(fa, 2) ^ int(fb, 2)).count("1") <= 2
+    }
+    sh = spark.createDataFrame(fps, "doc_id string, simhash string")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs_from_fingerprints(sh).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_bucket_cap_drops_degenerate_buckets(spark):
+    """An identical-fingerprint flood larger than max_bucket is dropped
+    before the quadratic fan-out (one dup-cluster, not N^2 pairs)."""
+    flood = [(f"f{i:03d}", _fp("1010101010101010")) for i in range(30)]
+    pair = [("x", _fp("0101010101010101")), ("y", _fp("0101010101010111"))]
+    sh = spark.createDataFrame(flood + pair, "doc_id string, simhash string")
+    got = simhash_pairs_from_fingerprints(sh, max_bucket=10).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in got}
+    assert ("x", "y") in ids
+    assert not any(a.startswith("f") for a, _ in ids)
+
+
+def test_minhash_bucket_cap(spark):
+    """A duplicate-text flood above the cap produces no candidate pairs
+    (the cluster is findable by exact dedup; LSH skips the N^2 blowup),
+    while a small dup group below the cap still pairs up."""
+    flood_text = "the quick brown fox jumps over the lazy dog again and again"
+    small_text = "completely different words describing another subject matter entirely"
+    rows = [(f"f{i:03d}", flood_text) for i in range(12)]
+    rows += [("s1", small_text), ("s2", small_text)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(docs, max_bucket=8).collect()
+    }
+    assert ("s1", "s2") in pairs
+    assert not any(a.startswith("f") for a, _ in pairs)
+
+
+def test_minhash_pairs_plan_single_exchange_for_window_and_group(spark):
+    """The cap's window count and the bucket groupBy share one exchange
+    on (band, band_hash) — the cap must not add a second shuffle."""
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"words shared prefix tail {i % 3} more body text here") for i in range(20)],
+        "doc_id string, text string",
+    )
+    plan = minhash_candidate_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    # exchanges: one for the doc_id signature agg, one for (band,
+    # band_hash), one for the final distinct — the window adds none
+    assert plan.count("Exchange hashpartitioning") <= 3

@@ -32,13 +32,44 @@ THAI_NEGATED_CLASS = "[^฀-๿]"
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 # MinHash configuration: 8 permutations -> 2 bands of 4 rows.
+# Signatures are SLICES of one md5 per shingle (4 hex chars each, so
+# 8 x 4 = the full 32-hex digest): one hash call per shingle instead
+# of one per (shingle, permutation) — the "one permutation hashing"
+# family. 16-bit signature space is plenty for per-document minima.
 MINHASH_PERMS = 8
 MINHASH_BANDS = 2
+MINHASH_SLICE_HEX = 4  # hex chars per signature slice
 SHINGLE_WORDS = 3
+# LSH pair generation drops degenerate buckets larger than this: a
+# 10k-member band bucket is one dup-cluster, not 10^8 useful pairs,
+# and the pair fan-out is quadratic in bucket size. Mirrored in the
+# DuckDB oracle so both engines see identical pair sets.
+MINHASH_MAX_BUCKET = 64
 
-# SimHash: 16 bits from md5 hex-digit parity votes.
+# SimHash: 16 bits from md5 hex-digit parity votes. Near-dup blocking
+# is pigeonhole multi-segment: the fingerprint splits into
+# SIMHASH_SEGMENTS contiguous segments; any pair within
+# SIMHASH_MAX_HAMMING (<= SIMHASH_SEGMENTS - 1) differing bits shares
+# at least one exact segment, so bucketing by each segment has FULL
+# recall (unlike prefix blocking) and bounded buckets.
 SIMHASH_BITS = 16
 SIMHASH_HEX_HIGH = "89abcdef"  # hex digits whose top bit is 1
+SIMHASH_SEGMENTS = 3
+SIMHASH_MAX_HAMMING = 2
+SIMHASH_MAX_BUCKET = 512
+
+
+def simhash_segment_bounds() -> list:
+    """(start_1based, length) of each pigeonhole segment — first
+    segments absorb the remainder so sizes differ by at most 1."""
+    base, rem = divmod(SIMHASH_BITS, SIMHASH_SEGMENTS)
+    bounds = []
+    start = 1
+    for s in range(SIMHASH_SEGMENTS):
+        length = base + (1 if s < rem else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
 
 # Character shingle width for document fingerprinting.
 FINGERPRINT_NGRAM = 8
@@ -66,5 +97,11 @@ def duck_shingles(tokens: str) -> str:
     )
 
 
-def duck_minhash_sig(shingles: str, perm: int) -> str:
-    return f"list_min(list_transform({shingles}, x -> md5(x || '#{perm}')))"
+def duck_minhash_sig(hashes: str, perm: int) -> str:
+    """Signature = min over the perm-th 4-hex slice of each shingle's
+    md5 (``hashes`` is a list of 32-hex digests)."""
+    start = perm * MINHASH_SLICE_HEX + 1
+    return (
+        f"list_min(list_transform({hashes}, "
+        f"x -> substring(x, {start}, {MINHASH_SLICE_HEX})))"
+    )

@@ -317,3 +317,27 @@ def is_base64_udf(value: pd.Series) -> pd.Series:
     """Base64 round-trip validity (ocr_utils.py:627-632). Native
     unbase64 is too lenient for parity, hence the UDF (SURVEY.md §2 #17)."""
     return value.map(lambda s: is_base64_string(s) if s is not None else False)
+
+
+def make_external_call_udf(fn, attempts: int = 5, error_value=None, sleep=None):
+    """Wrap an external per-row call (model endpoint, object store) as
+    a Pandas UDF with per-element bounded retry — the engine-side
+    rendering of the reference's API retry loop
+    (/root/reference/backend/services/ocr_service.py:126-138). Elements
+    that exhaust their attempts yield ``error_value`` (error-as-row,
+    never a task failure). The model call itself stays external by
+    design (SURVEY.md §2 #19); this is the harness a deployment plugs
+    its client into."""
+    import time as _time
+
+    from .retry import retrying_series_map
+
+    _sleep = sleep if sleep is not None else _time.sleep
+
+    @pandas_udf(StringType())
+    def call_udf(col: pd.Series) -> pd.Series:
+        return retrying_series_map(
+            col, fn, attempts=attempts, sleep=_sleep, error_value=error_value
+        )
+
+    return call_udf
