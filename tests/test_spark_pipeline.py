@@ -85,10 +85,12 @@ def test_scan_prunes_columns(frames):
 
 
 def test_skew_doc_pages_spread_across_partitions(frames):
-    """Pages of the giant skew-cohort document must fan out over many
-    partitions after the (url, page) repartition — the skew-defusal
-    property the north rule names."""
-    _, _, page_frame, _, _ = frames
+    """With the page-spread exchange enabled, pages of the giant
+    skew-cohort document must fan out over many partitions — the
+    skew-defusal dial the north rule names (config-gated after the
+    round-2 A/B; BENCH.md)."""
+    pages = frames[0]
+    page_frame = extract_pages(pages, PipelineConfig(page_spread=True))
     skew_url = (
         page_frame.groupBy("url").count().orderBy(F.desc("count")).first()["url"]
     )
@@ -101,17 +103,22 @@ def test_skew_doc_pages_spread_across_partitions(frames):
     assert n_parts > 1, "giant document stayed on one partition"
 
 
-def test_spread_shuffle_carries_no_blob(frames):
-    """The (url, page) spread exchange must move parsed IR / capped
+def test_spread_disabled_is_byte_identical(frames):
+    """The spread dial must never change output bytes, only placement."""
+    pages, _, _, expected_docs, _ = frames
+    docs = extract_documents(pages, PipelineConfig(page_spread=True))
+    assert docs.join(expected_docs, DOC_KEYS, "left_anti").count() == 0
+    assert expected_docs.join(docs, DOC_KEYS, "left_anti").count() == 0
+
+
+def test_shuffles_carry_no_blob(frames):
+    """Every exchange in the pipeline must move parsed IR / capped
     anchors, never the raw BINARY payload — at 100 TB shuffling the
-    blobs would double the job's IO."""
-    plan = _fresh_plan(frames)
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line and "url" in line and "page" in line:
-            break
-    # the exchange's input schema is printed in the preceding Input [...] row;
-    # simpler global check: the html column appears only below the scan/UDF
-    # stage, never in an Exchange's argument list
+    blobs would double the job's IO. Checked with the spread exchange
+    enabled (the worst case: two shuffles)."""
+    pages = frames[0]
+    df = extract_documents(pages, PipelineConfig(anchor_budget=4001, page_spread=True))
+    plan = df._jdf.queryExecution().executedPlan().toString()
     exchanges = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchanges, "no shuffle found"
     assert not any("html" in l for l in exchanges)

@@ -75,11 +75,17 @@ def extract_pages(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -
         ).alias("_pos", "pg"),
     ).select("url", "kind", "pg.page", "pg.mediabox", "pg.elements", "pg.text", "pg.error")
 
-    # shuffle: spread before the remaining CPU-heavy work. Bounded docs
-    # already carry their final (budget-capped) anchor text, so this
-    # exchange moves small strings; only the skew cohort's element IR
-    # rides it, and those pages fan out across all tasks.
-    spread = staged.repartition(n_spread, "url", "page")
+    # Spread exchange before the remaining CPU-heavy work. Bounded docs
+    # already carry their final (budget-capped) anchor text, so the
+    # exchange moves small strings; the skew cohort's element IR fans
+    # out across all tasks. Config-gated after a measured A/B at the
+    # scaling tier (BENCH.md round 2): at 32 cores the exchange WINS
+    # big (best 19.6k vs 13.5k docs/s — parse-stage stragglers decouple
+    # from assembly+write and AQE re-balances at the boundary); at 8
+    # cores it is noise-level negative. Default on.
+    spread = (
+        staged.repartition(n_spread, "url", "page") if config.page_spread else staged
+    )
 
     anchor = F.when(
         F.col("elements").isNotNull(),

@@ -68,3 +68,11 @@ class PipelineConfig:
     # task (their element IR never shuffles); larger documents emit raw
     # layout IR and fan out across the cluster before linearize
     spread_page_threshold: int = 32
+    # page-spread exchange between parse and linearize. Measured A/B at
+    # the scaling tier (240k docs, interleaved; BENCH.md round 2): at
+    # 32 cores the exchange is a clear win (best 19.6k vs 13.5k docs/s
+    # — it decouples the skew-heavy parse stage from assembly+write and
+    # gives AQE a coalesce point), at 8 cores it is noise-level
+    # negative (10.6k vs 11.1k). Default on; turn off for small-core
+    # runs over corpora with no giant documents.
+    page_spread: bool = True
