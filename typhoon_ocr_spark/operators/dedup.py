@@ -48,15 +48,29 @@ def word_tokens(col: Column) -> Column:
 def word_shingles(tokens: Column) -> Column:
     """3-word shingles (1-based element_at, mirroring the DuckDB twin).
     Fewer than 3 tokens → empty array (note: sequence() would count
-    DOWN for stop<start, hence the explicit guard)."""
+    DOWN for stop<start, hence the explicit guard).
+
+    Perf shape: the token expression is BOUND to a lambda variable via
+    a single-element transform before any element_at touches it.
+    Higher-order-function lambdas evaluate interpreted, per element —
+    referencing the raw ``tokens`` tree inside the shingle lambda
+    re-ran the whole split/lower/filter pipeline 3x PER SHINGLE
+    (O(len²) per document; measured 14.5 s → 3.5 s for the shingle
+    explode at sf0.1)."""
     k = SHINGLE_WORDS
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tokens, i + j) for j in range(k)]
-        ),
-    )
-    return F.when(F.size(tokens) >= k, make).otherwise(F.array().cast("array<string>"))
+
+    def build(arr: Column) -> Column:
+        make = F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(F.size(arr) >= k, make).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens), build), 1)
 
 
 def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -185,9 +199,13 @@ def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFr
     else -1; bit = 1 iff the vote sum is >= 0.
     Output: (doc_id, simhash STRING of '0'/'1', n_tokens)."""
     toks = word_tokens(F.col(text_col))
+    # Generate-node barrier: explode(array(x)) materializes the token
+    # hashes ONCE per row — CollapseProject would otherwise inline the
+    # tokenize+md5 pipeline into all SIMHASH_BITS vote aggregates (a
+    # 16x recompute; see word_shingles for the same class of bug).
     df = documents.select(
         "doc_id",
-        F.transform(toks, lambda x: F.md5(x)).alias("hs"),
+        F.explode(F.array(F.transform(toks, lambda x: F.md5(x)))).alias("hs"),
     )
     def vote_at(j: int):
         # closure factory: PySpark infers lambda arity from the

@@ -86,17 +86,25 @@ def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     character 8-grams of the lowercased text (a winnowing-style content
     fingerprint robust to reordering of large blocks).
     Output: (doc_id, fingerprint, n_grams)."""
-    t = F.lower(F.col(text_col))
     k = FINGERPRINT_NGRAM
+    # Two Generate-node barriers (explode(array(x))): (1) lower(text)
+    # evaluates once per row instead of once per GRAM inside the
+    # substr lambda (O(len²) otherwise), (2) the gram array
+    # materializes once for its two consumers (min + size).
+    lowered = documents.select(
+        "doc_id", F.explode(F.array(F.lower(F.col(text_col)))).alias("lt")
+    )
+    lt = F.col("lt")
     grams = F.when(
-        F.length(t) >= k,
+        F.length(lt) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.length(t) - (k - 1)),
-            lambda i: F.md5(t.substr(i, F.lit(k))),
+            F.sequence(F.lit(1), F.length(lt) - (k - 1)),
+            lambda i: F.md5(lt.substr(i, F.lit(k))),
         ),
-    ).otherwise(F.array(F.md5(t)))
-    return documents.select(
+    ).otherwise(F.array(F.md5(lt)))
+    gram_rows = lowered.select("doc_id", F.explode(F.array(grams)).alias("grams"))
+    return gram_rows.select(
         "doc_id",
-        F.array_min(grams).alias("fingerprint"),
-        F.size(grams).cast("long").alias("n_grams"),
+        F.array_min("grams").alias("fingerprint"),
+        F.size("grams").cast("long").alias("n_grams"),
     )
