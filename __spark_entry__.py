@@ -61,6 +61,7 @@ from typhoon_ocr_spark.operators.extract import (
     classify_pages,
     extract_documents,
     extract_pages,
+    extract_pdf_tables,
 )
 from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
 
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .filter((F.col("kind") == "image") & F.col("success"))
         .select("url", "anchor_text")
     )
+    q["extract_tables"] = lambda spark, sf: extract_pdf_tables(_pages(spark, sf))
     q["kind_routing"] = lambda spark, sf: classify_pages(_pages(spark, sf)).select(
         "url", "kind"
     )
@@ -266,6 +268,11 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, anchor_text "
         f"FROM read_parquet('{fx}/expected_pages.parquet') "
         f"WHERE kind = 'image' AND success"
+    )
+    sql["extract_tables"] = (
+        f"SELECT url, CAST(page AS BIGINT) AS page, table_md "
+        f"FROM read_parquet('{fx}/expected_pages.parquet') "
+        f"WHERE table_md IS NOT NULL"
     )
     sql["kind_routing"] = (
         f"SELECT url, kind FROM read_parquet('{fx}/expected_docs.parquet')"

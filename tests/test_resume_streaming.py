@@ -112,6 +112,45 @@ def test_stale_snapshot_fails_then_invalidates(spark, fixture_dir, tmp_path):
     assert final.select("source_snapshot").distinct().count() == 1
 
 
+def test_stream_events_schema(spark, fixture_dir, tmp_path):
+    """SSE-analog event rows: one start + one complete per batch,
+    page_complete per successful page (200-char preview), error rows
+    for failures (routes/ocr.py:199-207 vocabulary)."""
+    src = str(tmp_path / "src")
+    spark.read.parquet(os.path.join(fixture_dir, "pages.parquet")).repartition(
+        2
+    ).write.parquet(src)
+    out, ckpt, ev = (str(tmp_path / d) for d in ("out", "ckpt", "events"))
+    stream_extract(spark, src, out, ckpt, events_dir=ev)
+
+    events = spark.read.parquet(ev)
+    n_batches = events.select("batch_id").distinct().count()
+    assert events.filter(F.col("event") == "start").count() == n_batches
+    assert events.filter(F.col("event") == "complete").count() == n_batches
+
+    docs = spark.read.parquet(out)
+    n_ok_pages = (
+        events.filter(F.col("event") == "page_complete").count()
+    )
+    # every successful page produced exactly one page_complete event
+    expected_pages = spark.read.parquet(
+        os.path.join(fixture_dir, "expected_pages.parquet")
+    )
+    assert n_ok_pages == expected_pages.filter("success").count()
+    # failures surface as error events with a message
+    n_err = events.filter((F.col("event") == "error") & F.col("error").isNotNull()).count()
+    assert n_err == expected_pages.filter("NOT success").count()
+    # previews truncated to the reference's 200 chars
+    too_long = events.filter(F.length("preview") > 200).count()
+    assert too_long == 0
+    # totals on the complete rows line up with the docs sink
+    agg = events.filter(F.col("event") == "complete").agg(
+        F.sum("n_total").alias("t"), F.sum("n_done").alias("d")
+    ).first()
+    assert agg["t"] == expected_pages.count()
+    assert docs.count() == 200
+
+
 def test_stream_batch_replay_is_idempotent(spark, pages_path, tmp_path):
     """A replayed foreachBatch invocation (crash between sink write and
     checkpoint commit) must overwrite its own partition, not append

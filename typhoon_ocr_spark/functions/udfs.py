@@ -232,6 +232,38 @@ def parse_pdf_pages_udf(payload: pd.Series) -> pd.Series:
     )
 
 
+TABLE_PAGE_STRUCT = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("table_md", StringType()),
+    ]
+)
+
+
+@pandas_udf(ArrayType(TABLE_PAGE_STRUCT))
+def page_tables_udf(payload: pd.Series) -> pd.Series:
+    """BINARY pdf payload → per-page markdown tables via deterministic
+    table-cell grouping (oracle/tables.py — the north star's
+    "table-cell grouping into markdown tables"). Pages whose runs don't
+    form a grid yield table_md NULL; parse failures yield no rows
+    (error handling lives in the main pipeline)."""
+    from ..oracle.tables import detect_table
+
+    def one(blob: Optional[bytes]) -> list:
+        if blob is None:
+            return []
+        try:
+            reports = parse_pdf(bytes(blob))
+        except Exception:
+            return []
+        return [
+            {"page": idx, "table_md": detect_table(report.text_elements)}
+            for idx, report in enumerate(reports, start=1)
+        ]
+
+    return payload.map(one)
+
+
 @pandas_udf(StringType())
 def linearize_anchor_udf(
     url: pd.Series,

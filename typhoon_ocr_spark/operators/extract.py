@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import linearize_anchor_udf, sniff_kind_col, stage_pages_udf
+from ..functions.udfs import (
+    linearize_anchor_udf,
+    page_tables_udf,
+    sniff_kind_col,
+    stage_pages_udf,
+)
 from ..plans.session import PipelineConfig
 
 PAGE_COLUMNS = ["url", "kind", "page", "anchor_text", "text", "success", "error"]
@@ -106,6 +111,21 @@ def extract_pages(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -
         .alias("text"),
         F.col("error").isNull().alias("success"),
         "error",
+    )
+
+
+def extract_pdf_tables(pages: DataFrame) -> DataFrame:
+    """Deterministic table extraction: pdf payloads → one row per page
+    whose positioned runs form a grid, rendered as GitHub markdown
+    (oracle/tables.py clustering; the north star's "table-cell grouping
+    into markdown tables"). Single scan, kind-routed natively, pdf
+    payloads only reach the parse UDF. Output: (url, page, table_md)."""
+    base = classify_pages(pages).select("url", "kind", "html")
+    return (
+        base.filter(F.col("kind") == "pdf")
+        .select("url", F.explode(page_tables_udf("html")).alias("pt"))
+        .select("url", F.col("pt.page").cast("long").alias("page"), "pt.table_md")
+        .filter(F.col("table_md").isNotNull())
     )
 
 

@@ -26,6 +26,7 @@ from .linearize import (
     truncation_rng,
 )
 from .pdfmini import parse_pdf
+from .tables import detect_table
 
 KIND_PDF = "pdf"
 KIND_HTML = "html"
@@ -60,6 +61,7 @@ class PageResult:
     text: str
     success: bool
     error: Optional[str]
+    table_md: Optional[str] = None  # deterministic table-cell grouping (pdf pages)
 
 
 @dataclass
@@ -100,7 +102,8 @@ def extract_document(
                 anchor = linearize_page(
                     report, max_length=anchor_budget, rng=truncation_rng(url, idx)
                 )
-                pages.append(PageResult(idx, anchor, anchor, True, None))
+                table = detect_table(report.text_elements)
+                pages.append(PageResult(idx, anchor, anchor, True, None, table))
             if not pages:
                 pages = [PageResult(1, None, "", False, "empty pdf")]
         except Exception as exc:  # error → failed row, never an exception

@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -241,7 +241,10 @@ _PAGES_SCHEMA = pa.schema(
 
 def compute_expected(pages: Dict[str, list]) -> tuple:
     doc_rows = {k: [] for k in ("url", "kind", "extracted_text", "page_count", "success")}
-    page_rows = {k: [] for k in ("url", "page", "kind", "anchor_text", "text", "success", "error")}
+    page_rows = {
+        k: []
+        for k in ("url", "page", "kind", "anchor_text", "text", "success", "error", "table_md")
+    }
     for url, payload in zip(pages["url"], pages["html"]):
         doc = extract_document(url, payload, anchor_budget=DEFAULT_ANCHOR_BUDGET)
         doc_rows["url"].append(doc.url)
@@ -257,6 +260,7 @@ def compute_expected(pages: Dict[str, list]) -> tuple:
             page_rows["text"].append(p.text)
             page_rows["success"].append(p.success)
             page_rows["error"].append(p.error)
+            page_rows["table_md"].append(p.table_md)
     return doc_rows, page_rows
 
 

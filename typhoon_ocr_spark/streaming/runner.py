@@ -258,21 +258,47 @@ def write_stream_batch(
     batch_id: int,
     out_dir: str,
     config: PipelineConfig = PipelineConfig(),
+    events_dir: Optional[str] = None,
 ) -> None:
     """Idempotent micro-batch sink: each batch owns its ``batch_id=N``
     partition and dynamic-partition overwrite replaces exactly that
     partition on replay. Checkpoint gives exactly-once offsets; this
     gives exactly-once *output* — a crash between the parquet write and
     the checkpoint commit replays the batch, which overwrites its own
-    partial output instead of appending duplicates (ADVICE round 1)."""
-    (
-        extract_documents(batch_df, config)
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(out_dir)
-    )
+    partial output instead of appending duplicates (ADVICE round 1).
+
+    With ``events_dir`` set, the batch also emits SSE-analog progress
+    event rows (streaming/events.py) to their own idempotent
+    partition; the page frame persists for the two actions so the
+    parse UDF still runs once per batch."""
+
+    def _write(df: DataFrame, path: str) -> None:
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    if events_dir is None:
+        _write(
+            extract_documents(batch_df, config).withColumn("batch_id", F.lit(batch_id)),
+            out_dir,
+        )
+        return
+
+    from ..operators.extract import extract_pages as _extract_pages
+    from .events import batch_events
+
+    page_frame = _extract_pages(batch_df, config).persist()
+    try:
+        _write(
+            assemble_documents(page_frame).withColumn("batch_id", F.lit(batch_id)),
+            out_dir,
+        )
+        _write(batch_events(page_frame, batch_id), events_dir)
+    finally:
+        page_frame.unpersist()
 
 
 def stream_extract(
@@ -281,12 +307,15 @@ def stream_extract(
     out_dir: str,
     checkpoint_dir: str,
     config: PipelineConfig = PipelineConfig(),
+    events_dir: Optional[str] = None,
 ) -> None:
     """Structured Streaming runner: pages source → extraction →
     parquet sink, drained with Trigger.AvailableNow (the micro-batch
     analog of the reference's drain-all-then-complete SSE loop,
     routes/ocr.py:296-321). End-to-end exactly-once = checkpointed
-    offsets + the idempotent per-batch-partition sink above."""
+    offsets + the idempotent per-batch-partition sink above. Pass
+    ``events_dir`` to also emit the reference's SSE event vocabulary
+    as per-batch rows (streaming/events.py)."""
     schema = spark.read.parquet(pages_path).schema
     source = (
         spark.readStream.schema(schema)
@@ -296,7 +325,7 @@ def stream_extract(
 
     query = (
         source.writeStream.foreachBatch(
-            lambda df, bid: write_stream_batch(df, bid, out_dir, config)
+            lambda df, bid: write_stream_batch(df, bid, out_dir, config, events_dir)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
