@@ -68,11 +68,17 @@ _DELIM = b"()<>[]{}/%"
 
 
 class _Lexer:
-    """Tokenizer for PDF object syntax + content streams."""
+    """Tokenizer for PDF object syntax + content streams.
 
-    def __init__(self, data: bytes, pos: int = 0) -> None:
+    ``refs=False`` disables the indirect-reference ("N 0 R") lookahead
+    after integers — content streams can't contain refs, and the
+    lookahead's save/skip-ws/match per number is measurably hot
+    (content interpretation is ~half of parse CPU)."""
+
+    def __init__(self, data: bytes, pos: int = 0, refs: bool = True) -> None:
         self.data = data
         self.pos = pos
+        self.refs = refs
 
     def _skip_ws(self) -> None:
         d, n = self.data, len(self.data)
@@ -134,7 +140,7 @@ class _Lexer:
 
     def _finish_number(self, raw: bytes):
         # look ahead for "N 0 R" indirect reference
-        if b"." not in raw:
+        if self.refs and b"." not in raw:
             save = self.pos
             self._skip_ws()
             m = _REF_TAIL_RE.match(self.data, self.pos)
@@ -651,7 +657,7 @@ def _interpret_content(
 ) -> Tuple[List[TextElement], List[ImageElement]]:
     texts: List[TextElement] = []
     images: List[ImageElement] = []
-    lex = _Lexer(content)
+    lex = _Lexer(content, refs=False)
     stack: List[object] = []
     ctm = list(IDENTITY)
     ctm_stack: List[List[float]] = []
