@@ -56,6 +56,7 @@ from typhoon_ocr_spark.operators import (
     relational,
     similarity,
     textstats,
+    weburl,
 )
 from typhoon_ocr_spark.operators.extract import (
     classify_pages,
@@ -118,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("url", "anchor_text")
     )
     q["extract_tables"] = lambda spark, sf: extract_pdf_tables(_pages(spark, sf))
+    q["url_normalize"] = lambda spark, sf: weburl.url_normalize(_pages(spark, sf))
+    q["host_rollup"] = lambda spark, sf: weburl.host_rollup(_pages(spark, sf))
     q["kind_routing"] = lambda spark, sf: classify_pages(_pages(spark, sf)).select(
         "url", "kind"
     )
@@ -273,6 +276,30 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, CAST(page AS BIGINT) AS page, table_md "
         f"FROM read_parquet('{fx}/expected_pages.parquet') "
         f"WHERE table_md IS NOT NULL"
+    )
+    from typhoon_ocr_spark.functions.textsql import URL_PARTS_PATTERN
+
+    url_cte = (
+        "WITH u AS (SELECT url, "
+        f"lower(regexp_extract(url, '{URL_PARTS_PATTERN}', 1)) AS scheme, "
+        f"regexp_replace(lower(regexp_extract(url, '{URL_PARTS_PATTERN}', 2)), "
+        "'^www\\.', '') AS host_nw, "
+        f"regexp_extract(url, '{URL_PARTS_PATTERN}', 3) AS path, "
+        f"regexp_extract(url, '{URL_PARTS_PATTERN}', 4) AS query "
+        f"FROM read_parquet('{fx}/pages.parquet')), "
+        "h AS (SELECT url, scheme, "
+        "CASE WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '') "
+        " WHEN scheme = 'https' THEN regexp_replace(host_nw, ':443$', '') "
+        " ELSE host_nw END AS host, "
+        "CASE WHEN path = '' THEN '/' ELSE path END AS path, query FROM u)"
+    )
+    sql["url_normalize"] = (
+        f"{url_cte} SELECT url, scheme || '://' || host || path || query AS norm_url, "
+        "host FROM h"
+    )
+    sql["host_rollup"] = (
+        f"{url_cte} SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_urls FROM h GROUP BY host"
     )
     sql["kind_routing"] = (
         f"SELECT url, kind FROM read_parquet('{fx}/expected_docs.parquet')"

@@ -102,3 +102,46 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     # count larger than any single batch contribution
     user1_rows = [r for _, r in out_rows if r[0] == 1]
     assert any(r[1] > r[3] for r in user1_rows)
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """Continuous exact dedup: the first arrival per key is emitted
+    once; duplicates inside a batch AND across later micro-batches are
+    dropped (keyed GroupState survives the batch boundary)."""
+    from typhoon_ocr_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [("k1", "u1-first"), ("k1", "u1-dup-same-batch"), ("k2", "u2-first")],
+        "key string, url string",
+    )
+    b2 = spark.createDataFrame(
+        [("k1", "u1-dup-later-batch"), ("k3", "u3-first")],
+        "key string, url string",
+    )
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+
+    out_rows = []
+    q = (
+        streaming_first_seen(
+            spark.readStream.schema("key string, url string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: out_rows.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = dict(out_rows)
+    assert len(out_rows) == 3  # exactly one emission per distinct key
+    assert set(emitted) == {"k1", "k2", "k3"}
+    # k1 emits whichever arrival came first (file order is not pinned),
+    # but never the same-batch duplicate
+    assert emitted["k1"] in ("u1-first", "u1-dup-later-batch")
+    assert emitted["k1"] != "u1-dup-same-batch"

@@ -74,6 +74,11 @@ def simhash_segment_bounds() -> list:
 # Character shingle width for document fingerprinting.
 FINGERPRINT_NGRAM = 8
 
+# URL splitter: (1) scheme, (2) host[:port], (3) path, (4) ?query,
+# (5) #fragment. Java-regex and RE2 compatible (no lookaround), shared
+# by operators/weburl.py and the DuckDB oracle twins.
+URL_PARTS_PATTERN = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+
 # ANN configuration.
 ANN_QUERY_EVERY = 100  # vec_id % EVERY == 0 are the query vectors
 ANN_TOP_K = 5

@@ -1,0 +1,79 @@
+"""URL normalization + host-level rollups — crawl-pipeline operators.
+
+A Common-Crawl-scale ingest dedupes and shards by URL constantly;
+canonicalization is the step before every url-keyed join. Pure column
+expressions (JVM regexp, whole-stage codegen); the DuckDB oracle twin
+uses the same regex constants from functions/textsql so the engines
+cannot drift.
+
+Normalization rules (deterministic, order matters):
+1. scheme and host lowercase;
+2. leading ``www.`` stripped from the host;
+3. default ports dropped (``:80`` for http, ``:443`` for https);
+4. fragment dropped;
+5. empty path becomes ``/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textsql import URL_PARTS_PATTERN
+
+
+def _part(col: Column, group: int) -> Column:
+    return F.regexp_extract(col, URL_PARTS_PATTERN, group)
+
+
+def normalized_url_col(col: Column) -> Column:
+    """Canonical URL as one JVM expression (rules in module doc)."""
+    scheme = F.lower(_part(col, 1))
+    host_raw = F.lower(_part(col, 2))
+    host_nw = F.regexp_replace(host_raw, r"^www\.", "")
+    # strip default port per scheme
+    host = (
+        F.when((scheme == "http"), F.regexp_replace(host_nw, ":80$", ""))
+        .when((scheme == "https"), F.regexp_replace(host_nw, ":443$", ""))
+        .otherwise(host_nw)
+    )
+    path = _part(col, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = _part(col, 4)  # keeps the leading '?', empty string if none
+    return F.concat(scheme, F.lit("://"), host, path, query)
+
+
+def host_col(col: Column) -> Column:
+    """Canonical host (lowercased, www- and default-port-stripped)."""
+    scheme = F.lower(_part(col, 1))
+    host_nw = F.regexp_replace(F.lower(_part(col, 2)), r"^www\.", "")
+    return (
+        F.when(scheme == "http", F.regexp_replace(host_nw, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host_nw, ":443$", ""))
+        .otherwise(host_nw)
+    )
+
+
+def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url, norm_url, host) per input row."""
+    c = F.col(url_col)
+    return pages.select(
+        c.alias("url"),
+        normalized_url_col(c).alias("norm_url"),
+        host_col(c).alias("host"),
+    )
+
+
+def host_rollup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Pages per canonical host — the shard/politeness histogram every
+    crawl pipeline starts from. One shuffle on the host key, map-side
+    partial agg. Output: (host, n_pages, n_urls)."""
+    c = F.col(url_col)
+    return (
+        pages.select(host_col(c).alias("host"), c.alias("url"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("url").alias("n_urls"),
+        )
+    )

@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     parser.add_argument("--page-level", action="store_true",
                         help="emit page-level rows instead of per-document rollup")
     parser.add_argument("--checkpoint", default=None, help="stream-mode checkpoint dir")
+    parser.add_argument("--stale-policy", choices=("fail", "invalidate"), default="fail",
+                        help="resumable mode: what to do with buckets committed "
+                             "against an older input snapshot")
+    parser.add_argument("--events", action="store_true",
+                        help="stream mode: also emit SSE-analog progress event rows")
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
 
@@ -65,15 +70,19 @@ def main(argv=None) -> int:
         from ..streaming.runner import stream_extract
 
         ckpt = args.checkpoint or f"{args.output}/_checkpoint"
-        stream_extract(spark, args.input, f"{args.output}/docs", ckpt, config)
-        print(json.dumps({"mode": "stream", "output": args.output}))
+        events_dir = f"{args.output}/events" if args.events else None
+        stream_extract(spark, args.input, f"{args.output}/docs", ckpt, config,
+                       events_dir=events_dir)
+        print(json.dumps({"mode": "stream", "output": args.output,
+                          "events": bool(events_dir)}))
         return 0
 
     if args.mode == "resumable" and not args.page_level:
         from ..streaming.runner import ResumableExtractJob
 
         job = ResumableExtractJob(
-            spark, args.input, args.output, n_buckets=args.buckets, config=config
+            spark, args.input, args.output, n_buckets=args.buckets, config=config,
+            stale_policy=args.stale_policy,
         )
         summary = job.run()
         print(json.dumps({"mode": "resumable", **summary,

@@ -16,10 +16,12 @@ from typing import Iterable, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -73,6 +75,56 @@ def running_user_totals(event_stream: DataFrame) -> DataFrame:
             _update_user,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming first-seen dedup: exact dedup as a continuous operator.
+# ---------------------------------------------------------------------------
+
+FIRST_SEEN_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("url", StringType()),
+    ]
+)
+
+FIRST_SEEN_STATE = StructType([StructField("seen", LongType())])
+
+
+def _first_seen(
+    key: Tuple, frames: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        return  # key already emitted in an earlier batch: drop everything
+    first_url = None
+    for pdf in frames:
+        if len(pdf) and first_url is None:
+            first_url = str(pdf["url"].iloc[0])
+    state.update((1,))
+    if first_url is not None:
+        yield pd.DataFrame({"key": [key[0]], "url": [first_url]})
+
+
+def streaming_first_seen(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Continuous exact dedup over an unbounded stream: the FIRST row
+    per key ever seen is emitted, every later arrival (same batch or
+    any later micro-batch) is dropped — the streaming twin of
+    ``dedup.exact_dup_groups`` for ingest pipelines where the corpus
+    never stops arriving. Keyed GroupState holds one long per key;
+    at 10^12 keys partition the stream by key-hash ranges and shard
+    checkpoints per range (state is per-key, never global). Input must
+    carry (key, url); output (key, url)."""
+    return (
+        stream.select(F.col(key_col).alias("key"), "url")
+        .groupBy("key")
+        .applyInPandasWithState(
+            _first_seen,
+            outputStructType=FIRST_SEEN_OUTPUT,
+            stateStructType=FIRST_SEEN_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
