@@ -105,3 +105,70 @@ def test_page_ranges_sorted_unique(pages):
     out = parse_page_ranges(expr)
     assert out == sorted(set(out))
     assert all(p >= 1 for p in out)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(run_text, coord, coord), min_size=1, max_size=10),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+)
+def test_pdf_build_modes_parse_identically(runs, compress, xref_stream, objstm):
+    """Every writer file structure (classic / Flate / xref-stream /
+    ObjStm) must parse back to the identical report — random content."""
+    def make():
+        w = MiniPdfWriter().add_page((0, 0, 500, 700))
+        for text, x, y in runs:
+            w.text(x, y, text)
+        return w
+    plain = parse_pdf(make().build())
+    variant = parse_pdf(
+        make().build(compress=compress, xref_stream=xref_stream, objstm=objstm)
+    )
+    assert repr(variant) == repr(plain)
+
+
+@settings(**SETTINGS)
+@given(
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=2, max_value=5),
+    st.floats(min_value=-1.2, max_value=1.2, allow_nan=False),
+)
+def test_table_detector_grid_invariants(rows, cols, jitter):
+    """Any full grid with sub-tolerance jitter is detected and has the
+    right markdown shape; header + separator + body rows."""
+    from typhoon_ocr_spark.oracle.tables import detect_table
+
+    runs = [
+        TextElement(f"r{r}c{c}", 40 + c * 90 + jitter, 700 - r * 25 - jitter)
+        for r in range(rows)
+        for c in range(cols)
+    ]
+    md = detect_table(runs)
+    assert md is not None
+    lines = md.splitlines()
+    assert len(lines) == rows + 1
+    assert lines[0] == "| " + " | ".join(f"r0c{c}" for c in range(cols)) + " |"
+    assert lines[1] == "|" + "---|" * cols
+
+
+@settings(**SETTINGS)
+@given(st.binary(min_size=0, max_size=64))
+def test_image_sniff_never_raises(blob):
+    """Arbitrary bytes: sniffing returns a kind or None, dims either
+    parse or raise ImageError — never any other exception."""
+    from typhoon_ocr_spark.oracle.images import (
+        ImageError,
+        image_dimensions,
+        sniff_image_kind,
+    )
+
+    kind = sniff_image_kind(blob)
+    assert kind in (None, "png", "jpeg", "gif", "webp")
+    if kind is not None:
+        try:
+            w, h = image_dimensions(blob)
+            assert w >= 0 and h >= 0
+        except ImageError:
+            pass
