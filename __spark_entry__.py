@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = lambda spark, sf: multimodal.extract_media_features(
         multimodal.media_from_documents(_t(spark, sf, "documents"))
     ).select("media_id", "payload_sha", "n_bytes")
+    q["image_pixel_stats"] = lambda spark, sf: multimodal.image_pixel_stats(
+        _pages(spark, sf)
+    )
     return q
 
 
@@ -678,5 +681,9 @@ def oracle_sql() -> dict[str, str]:
     sql["media_features"] = (
         "SELECT doc_id AS media_id, sha256(text) AS payload_sha, "
         "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+    )
+    sql["image_pixel_stats"] = (
+        f"SELECT url, img_kind, width, height, n_samples, mean_pm, spread_pm, decoded "
+        f"FROM read_parquet('{fx}/expected_images.parquet')"
     )
     return sql

@@ -78,3 +78,49 @@ def test_jpeg_dims_skip_app_segments():
     assert image_dimensions(data) == (1024, 768)
     with pytest.raises(ImageError):
         image_dimensions(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+def test_png_real_decode_round_trip():
+    """decode_png must recover the exact deterministic pixel pattern
+    write_png emitted (true decode, not a fake)."""
+    from typhoon_ocr_spark.oracle.images import decode_png, png_pixel_stats
+
+    w, h, seed = 37, 11, 5
+    data = write_png(w, h, seed=seed)
+    gw, gh, channels, pixels = decode_png(data)
+    assert (gw, gh, channels) == (w, h, 1)
+    expected = bytes(
+        (x * 31 + y * 17 + seed) & 0xFF for y in range(h) for x in range(w)
+    )
+    assert pixels == expected
+
+    n, mean_pm, spread_pm = png_pixel_stats(data)
+    assert n == w * h
+    assert mean_pm == round(1000 * sum(expected) / (n * 255))
+    assert 0 <= spread_pm <= 1000
+
+
+def test_decode_media_png_real_others_loud():
+    from typhoon_ocr_spark.operators.multimodal import decode_media
+
+    w, h, ch, px = decode_media(write_png(9, 4, seed=1), "png")
+    assert (w, h, ch) == (9, 4, 1) and len(px) == 36
+    with pytest.raises(NotImplementedError):
+        decode_media(write_jpeg(5, 5), "jpeg")
+
+
+def test_image_pixel_stats_operator(spark):
+    from typhoon_ocr_spark.operators.multimodal import image_pixel_stats
+
+    rows = [
+        ("u-png", bytearray(write_png(20, 10, seed=2))),
+        ("u-gif", bytearray(write_gif(64, 32))),
+        ("u-html", bytearray(b"<html><body>x</body></html>")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in image_pixel_stats(df).collect()}
+    assert set(got) == {"u-png", "u-gif"}
+    assert got["u-png"]["decoded"] == "real"
+    assert got["u-png"]["n_samples"] == 200
+    assert got["u-gif"]["decoded"] == "header-only"
+    assert got["u-gif"]["width"] == 64 and got["u-gif"]["n_samples"] is None

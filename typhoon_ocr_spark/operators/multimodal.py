@@ -100,11 +100,20 @@ def _fake_decode_features(payload: bytes) -> list:
     ]
 
 
-def decode_media(payload: bytes, fmt: str):  # pragma: no cover - stub
-    """The real decode hook. Not implementable in this container."""
+def decode_media(payload: bytes, fmt: str):
+    """The real decode hook. PNG decodes for real (stdlib zlib +
+    row unfiltering, oracle/images.decode_png); JPEG/GIF/WebP need
+    entropy codecs absent from this container and stay loud stubs —
+    swap in PIL/ffmpeg here on a real deployment, the Spark plumbing
+    is unchanged."""
+    from ..oracle.images import decode_png, sniff_image_kind
+
+    kind = fmt if fmt in ("png", "jpeg", "gif", "webp") else sniff_image_kind(payload)
+    if kind == "png":
+        return decode_png(payload)
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg; use _fake_decode_features "
-        "for deterministic pipeline testing"
+        f"decoding {kind or 'unknown'} requires PIL/ffmpeg; PNG is the "
+        "in-sandbox real-decode path"
     )
 
 
@@ -129,6 +138,64 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("img_kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_samples", LongType()),     # pixels*channels (png) / NULL
+        StructField("mean_pm", LongType()),       # per-mille of full scale
+        StructField("spread_pm", LongType()),
+        StructField("decoded", StringType()),     # 'real' | 'header-only'
+    ]
+)
+
+
+def image_pixel_stats(pages: DataFrame) -> DataFrame:
+    """REAL decode over the raster rows of a pages corpus: PNG payloads
+    inflate + unfilter to pixels (pure stdlib) and report deterministic
+    pixel statistics; codec-needing formats (JPEG/GIF/WebP) report
+    header dimensions with decoded='header-only'. mapInPandas streams
+    Arrow batches — bounded memory at any corpus size; only url+payload
+    enter the UDF."""
+    from ..functions.udfs import sniff_kind_col
+    from ..oracle.images import ImageError, image_dimensions, png_pixel_stats, sniff_image_kind
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("url", "img_kind", "width", "height",
+                                    "n_samples", "mean_pm", "spread_pm", "decoded")}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                blob = bytes(payload) if payload is not None else b""
+                kind = sniff_image_kind(blob)
+                if kind is None:
+                    continue
+                try:
+                    w, h = image_dimensions(blob)
+                except ImageError:
+                    continue
+                if kind == "png":
+                    n, mean_pm, spread_pm = png_pixel_stats(blob)
+                    vals = (n, mean_pm, spread_pm, "real")
+                else:
+                    vals = (None, None, None, "header-only")
+                rows["url"].append(url)
+                rows["img_kind"].append(kind)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_samples"].append(vals[0])
+                rows["mean_pm"].append(vals[1])
+                rows["spread_pm"].append(vals[2])
+                rows["decoded"].append(vals[3])
+            yield pd.DataFrame(rows)
+
+    image_rows = pages.withColumn("kind", sniff_kind_col("html")).filter(
+        F.col("kind") == "image"
+    )
+    return image_rows.select("url", "html").mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 def media_from_documents(documents: DataFrame) -> DataFrame:

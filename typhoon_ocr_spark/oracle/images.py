@@ -122,6 +122,75 @@ def _webp_dimensions(data: bytes) -> Tuple[int, int]:
 
 
 # --------------------------------------------------------------------------
+# Real PNG decode (stdlib: zlib inflate + PNG row unfiltering). The
+# other container formats (JPEG/GIF-LZW/WebP-VP8) need entropy codecs
+# that aren't in this sandbox; they stay behind NotImplementedError in
+# the multimodal decode hook.
+# --------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
+
+
+def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
+    """(width, height, channels, raw pixel bytes) for 8-bit
+    non-interlaced PNGs. Raises ImageError on palette/interlaced/
+    non-8-bit images (rare in practice; loud, never silent)."""
+    from .pdfmini import _png_unpredict
+
+    if not data.startswith(PNG_MAGIC):
+        raise ImageError("not a PNG")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = bytearray()
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ImageError(f"unsupported PNG bit depth {depth}")
+            if interlace:
+                raise ImageError("interlaced PNG unsupported")
+            channels = _PNG_CHANNELS.get(color)
+            if channels is None:
+                raise ImageError(f"unsupported PNG color type {color}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ImageError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageError(f"bad PNG zlib stream: {exc}") from exc
+    pixels = _png_unpredict(raw, columns=width, colors=channels, bpc=8)
+    expected = width * height * channels
+    if len(pixels) < expected:
+        raise ImageError("PNG pixel data truncated")
+    return width, height, channels, pixels[:expected]
+
+
+def png_pixel_stats(data: bytes) -> Tuple[int, int, int]:
+    """(n_pixels, mean_per_mille, min..max spread_per_mille) —
+    deterministic integer pixel statistics for the decode-verification
+    path (per-mille of full scale, round-half-even like both engines'
+    round())."""
+    width, height, channels, pixels = decode_png(data)
+    n = width * height * channels
+    total = sum(pixels)
+    mean_pm = round(1000 * total / (n * 255)) if n else 0
+    spread_pm = round(1000 * (max(pixels) - min(pixels)) / 255) if n else 0
+    return n, mean_pm, spread_pm
+
+
+# --------------------------------------------------------------------------
 # Fixture writers (deterministic, structurally valid)
 # --------------------------------------------------------------------------
 

@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -264,6 +264,55 @@ def compute_expected(pages: Dict[str, list]) -> tuple:
     return doc_rows, page_rows
 
 
+def compute_expected_images(pages: Dict[str, list]) -> pa.Table:
+    """Golden for the real-decode path (operators/multimodal.
+    image_pixel_stats): PNG pixel statistics, header-only dims for the
+    codec-needing formats — computed by the same oracle the UDF runs."""
+    from ..oracle.images import (
+        ImageError,
+        image_dimensions,
+        png_pixel_stats,
+        sniff_image_kind,
+    )
+
+    rows = {k: [] for k in ("url", "img_kind", "width", "height",
+                            "n_samples", "mean_pm", "spread_pm", "decoded")}
+    for url, payload in zip(pages["url"], pages["html"]):
+        kind = sniff_image_kind(payload)
+        if kind is None:
+            continue
+        try:
+            w, h = image_dimensions(payload)
+        except ImageError:
+            continue
+        if kind == "png":
+            n, mean_pm, spread_pm = png_pixel_stats(payload)
+            vals = (n, mean_pm, spread_pm, "real")
+        else:
+            vals = (None, None, None, "header-only")
+        rows["url"].append(url)
+        rows["img_kind"].append(kind)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_samples"].append(vals[0])
+        rows["mean_pm"].append(vals[1])
+        rows["spread_pm"].append(vals[2])
+        rows["decoded"].append(vals[3])
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("img_kind", pa.string()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("n_samples", pa.int64()),
+            ("mean_pm", pa.int64()),
+            ("spread_pm", pa.int64()),
+            ("decoded", pa.string()),
+        ]
+    )
+    return pa.table(rows, schema=schema)
+
+
 def prompt_cases() -> Dict[str, list]:
     """Prompt/response parsing fixture table (FIXTURES.md §3)."""
     anchors = ["Page dimensions: 612.0x792.0\n[72x700]Hello\n", ""]
@@ -373,6 +422,9 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         docs, per_page = compute_expected(pages)
         pq.write_table(pa.table(docs), os.path.join(out_dir, "expected_docs.parquet"))
         pq.write_table(pa.table(per_page), os.path.join(out_dir, "expected_pages.parquet"))
+        pq.write_table(
+            compute_expected_images(pages), os.path.join(out_dir, "expected_images.parquet")
+        )
     pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
     pq.write_table(pa.table(markdown_cases()), os.path.join(out_dir, "markdown_cases.parquet"))
     pq.write_table(pa.table(base64_cases()), os.path.join(out_dir, "base64_cases.parquet"))
