@@ -184,3 +184,27 @@ def test_anchor_budget_config(spark, fixture_dir):
     for r in anchors:
         assert r["anchor_text"].startswith("Page dimensions: ")
         assert r["anchor_text"].count("\n") == 1  # header only at budget<20
+
+
+def test_round2_operator_plan_invariants(frames):
+    """Round-2 operators: single pruned scan, no stray exchanges."""
+    from typhoon_ocr_spark.operators import multimodal, weburl
+    from typhoon_ocr_spark.operators.extract import extract_pdf_tables
+
+    pages = frames[0]
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of(extract_pdf_tables(pages))
+    assert p.count("Scan parquet") == 1
+    assert "struct<url:string,html:binary>" in [
+        l.split("ReadSchema:")[1].strip() for l in p.splitlines() if "ReadSchema" in l
+    ][0]
+
+    p = plan_of(weburl.url_normalize(pages))
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 0
+    assert "html" not in [l for l in p.splitlines() if "ReadSchema" in l][0]
+
+    p = plan_of(multimodal.image_pixel_stats(pages))
+    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 0
