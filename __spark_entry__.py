@@ -63,6 +63,7 @@ from typhoon_ocr_spark.operators.extract import (
     extract_documents,
     extract_pages,
     extract_pdf_tables,
+    page_render_fingerprints,
 )
 from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
 
@@ -119,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("url", "anchor_text")
     )
     q["extract_tables"] = lambda spark, sf: extract_pdf_tables(_pages(spark, sf))
+    q["page_renders"] = lambda spark, sf: page_render_fingerprints(_pages(spark, sf))
     q["url_normalize"] = lambda spark, sf: weburl.url_normalize(_pages(spark, sf))
     q["host_rollup"] = lambda spark, sf: weburl.host_rollup(_pages(spark, sf))
     q["kind_routing"] = lambda spark, sf: classify_pages(_pages(spark, sf)).select(
@@ -279,6 +281,10 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT url, CAST(page AS BIGINT) AS page, table_md "
         f"FROM read_parquet('{fx}/expected_pages.parquet') "
         f"WHERE table_md IS NOT NULL"
+    )
+    sql["page_renders"] = (
+        f"SELECT url, page, render_w, render_h, render_sha "
+        f"FROM read_parquet('{fx}/expected_renders.parquet')"
     )
     from typhoon_ocr_spark.functions.textsql import URL_PARTS_PATTERN
 

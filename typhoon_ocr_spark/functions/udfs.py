@@ -239,6 +239,47 @@ TABLE_PAGE_STRUCT = StructType(
     ]
 )
 
+RENDER_PAGE_STRUCT = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("render_w", IntegerType()),
+        StructField("render_h", IntegerType()),
+        StructField("render_sha", StringType()),
+    ]
+)
+
+
+@pandas_udf(ArrayType(RENDER_PAGE_STRUCT))
+def page_renders_udf(payload: pd.Series) -> pd.Series:
+    """BINARY pdf payload → per-page layout raster fingerprints: each
+    page renders to a real grayscale PNG (oracle/render.py — the
+    engine's render_pdf_to_base64png path, ocr_utils.py:119-146) and
+    reports (dims, sha256 of the PNG bytes). The blob itself never
+    leaves the task — downstream carries 64-byte fingerprints."""
+    import hashlib
+
+    from ..oracle.render import render_page_bitmap
+    from ..oracle.images import encode_png_gray
+
+    def one(blob: Optional[bytes]) -> list:
+        if blob is None:
+            return []
+        try:
+            reports = parse_pdf(bytes(blob))
+        except Exception:
+            return []
+        out = []
+        for idx, report in enumerate(reports, start=1):
+            w, h, pixels = render_page_bitmap(report)
+            png = encode_png_gray(w, h, pixels)
+            out.append(
+                {"page": idx, "render_w": w, "render_h": h,
+                 "render_sha": hashlib.sha256(png).hexdigest()}
+            )
+        return out
+
+    return payload.map(one)
+
 
 @pandas_udf(ArrayType(TABLE_PAGE_STRUCT))
 def page_tables_udf(payload: pd.Series) -> pd.Series:

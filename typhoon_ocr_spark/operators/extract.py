@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import (
     linearize_anchor_udf,
+    page_renders_udf,
     page_tables_udf,
     sniff_kind_col,
     stage_pages_udf,
@@ -126,6 +127,26 @@ def extract_pdf_tables(pages: DataFrame) -> DataFrame:
         .select("url", F.explode(page_tables_udf("html")).alias("pt"))
         .select("url", F.col("pt.page").cast("long").alias("page"), "pt.table_md")
         .filter(F.col("table_md").isNotNull())
+    )
+
+
+def page_render_fingerprints(pages: DataFrame) -> DataFrame:
+    """Layout rasters for every pdf page: real PNG render per page
+    (oracle/render.py), surfaced as (url, page, render_w, render_h,
+    render_sha) — the fingerprint proves the render path end-to-end
+    without shipping image blobs through the plan. Single scan, pruned
+    to url+html, pdf rows only reach the UDF."""
+    base = classify_pages(pages).select("url", "kind", "html")
+    return (
+        base.filter(F.col("kind") == "pdf")
+        .select("url", F.explode(page_renders_udf("html")).alias("pr"))
+        .select(
+            "url",
+            F.col("pr.page").cast("long").alias("page"),
+            F.col("pr.render_w").cast("long").alias("render_w"),
+            F.col("pr.render_h").cast("long").alias("render_h"),
+            "pr.render_sha",
+        )
     )
 
 

@@ -203,20 +203,31 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def write_png(width: int, height: int, seed: int = 0) -> bytes:
-    """Grayscale PNG with a deterministic byte pattern; real zlib IDAT
-    and CRCs — any standards-compliant reader accepts it."""
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Real 8-bit grayscale PNG encoder (stdlib): filter-None rows,
+    zlib IDAT, correct CRCs. ``pixels`` is row-major width*height."""
+    if len(pixels) != width * height:
+        raise ImageError("pixel buffer size mismatch")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     rows = bytearray()
     for y in range(height):
         rows.append(0)  # filter: None
-        rows += bytes((x * 31 + y * 17 + seed) & 0xFF for x in range(width))
+        rows += pixels[y * width : (y + 1) * width]
     return (
         PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(rows), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def write_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Grayscale PNG with a deterministic byte pattern; real zlib IDAT
+    and CRCs — any standards-compliant reader accepts it."""
+    pixels = bytes(
+        (x * 31 + y * 17 + seed) & 0xFF for y in range(height) for x in range(width)
+    )
+    return encode_png_gray(width, height, pixels)
 
 
 def write_jpeg(width: int, height: int, seed: int = 0) -> bytes:

@@ -1,0 +1,85 @@
+"""Page rasterization: PageReport layout → real grayscale PNG.
+
+The reference renders pages to base64 PNG for the LLM via pdftoppm/
+pypdfium (`render_pdf_to_base64png`, ocr_utils.py:119-146) using the
+resolution formula ``target_longest * 72 / longest_dim``. No font
+rasterizer exists in this sandbox, so this renders the page's LAYOUT:
+text runs as dark boxes (estimated 12x6pt glyph cells), image
+placements as gray boxes, white background — a real, decodable PNG of
+the page's spatial structure (the quantity the anchor path consumes),
+not glyph-accurate typography. Swap in pypdfium for pixel-true output;
+every byte after the bitmap (PNG encode, base64, prompt assembly) is
+production-real.
+
+Deterministic: integer box math, fixed fill values, filter-None PNG.
+"""
+
+from __future__ import annotations
+
+import base64
+from typing import Tuple
+
+from .elements import PageReport
+from .images import encode_png_gray
+from .pdfmini import parse_pdf
+
+# sandbox-scale default; the reference uses 2048+ (ocr_utils.py:138) —
+# same formula, 16x the pixels. Dial, not semantics.
+DEFAULT_TARGET_LONGEST = 512
+
+TEXT_FILL = 0x20
+IMAGE_FILL = 0x80
+GLYPH_W_PT = 6.0   # estimated advance per char (12pt font, avg 0.5em)
+GLYPH_H_PT = 12.0
+
+
+def render_page_bitmap(
+    report: PageReport, target_longest: int = DEFAULT_TARGET_LONGEST
+) -> Tuple[int, int, bytes]:
+    """(width_px, height_px, grayscale pixels) for one page."""
+    mb = report.mediabox
+    page_w = max(mb.x1 - mb.x0, 1.0)
+    page_h = max(mb.y1 - mb.y0, 1.0)
+    scale = target_longest / max(page_w, page_h)
+    width = max(int(page_w * scale), 1)
+    height = max(int(page_h * scale), 1)
+    canvas = bytearray(b"\xff" * (width * height))
+
+    def fill(x0: float, y0: float, x1: float, y1: float, value: int) -> None:
+        # PDF user space is y-up; raster rows are y-down
+        px0 = max(int((x0 - mb.x0) * scale), 0)
+        px1 = min(int((x1 - mb.x0) * scale), width)
+        py0 = max(int(height - (y1 - mb.y0) * scale), 0)
+        py1 = min(int(height - (y0 - mb.y0) * scale), height)
+        if px1 <= px0 or py1 <= py0:
+            return
+        row = bytes([value]) * (px1 - px0)
+        for py in range(py0, py1):
+            base = py * width
+            canvas[base + px0 : base + px1] = row
+
+    for img in report.image_elements:
+        b = img.bbox
+        fill(b.x0, b.y0, b.x1, b.y1, IMAGE_FILL)
+    for el in report.text_elements:
+        n = len(el.text.strip())
+        if not n:
+            continue
+        fill(el.x, el.y, el.x + n * GLYPH_W_PT, el.y + GLYPH_H_PT, TEXT_FILL)
+    return width, height, bytes(canvas)
+
+
+def render_page_to_png(
+    report: PageReport, target_longest: int = DEFAULT_TARGET_LONGEST
+) -> bytes:
+    width, height, pixels = render_page_bitmap(report, target_longest)
+    return encode_png_gray(width, height, pixels)
+
+
+def render_pdf_to_base64png(
+    pdf_bytes: bytes, page_num: int, target_longest: int = DEFAULT_TARGET_LONGEST
+) -> str:
+    """The reference's signature (ocr_utils.py:119-146): 1-indexed page
+    of a PDF → base64-encoded PNG at the target resolution."""
+    report = parse_pdf(pdf_bytes)[page_num - 1]
+    return base64.b64encode(render_page_to_png(report, target_longest)).decode("ascii")

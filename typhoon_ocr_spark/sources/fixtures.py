@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -313,6 +313,44 @@ def compute_expected_images(pages: Dict[str, list]) -> pa.Table:
     return pa.table(rows, schema=schema)
 
 
+def compute_expected_renders(pages: Dict[str, list]) -> pa.Table:
+    """Golden for the page-raster path (oracle/render.py): per pdf page
+    the render dims + sha256 of the PNG bytes."""
+    import hashlib
+
+    from ..oracle.docpipe import sniff_kind
+    from ..oracle.images import encode_png_gray
+    from ..oracle.pdfmini import parse_pdf
+    from ..oracle.render import render_page_bitmap
+
+    rows = {k: [] for k in ("url", "page", "render_w", "render_h", "render_sha")}
+    for url, payload in zip(pages["url"], pages["html"]):
+        if sniff_kind(payload) != "pdf":
+            continue
+        try:
+            reports = parse_pdf(payload)
+        except Exception:
+            continue
+        for idx, report in enumerate(reports, start=1):
+            w, h, pixels = render_page_bitmap(report)
+            png = encode_png_gray(w, h, pixels)
+            rows["url"].append(url)
+            rows["page"].append(idx)
+            rows["render_w"].append(w)
+            rows["render_h"].append(h)
+            rows["render_sha"].append(hashlib.sha256(png).hexdigest())
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("page", pa.int64()),
+            ("render_w", pa.int64()),
+            ("render_h", pa.int64()),
+            ("render_sha", pa.string()),
+        ]
+    )
+    return pa.table(rows, schema=schema)
+
+
 def prompt_cases() -> Dict[str, list]:
     """Prompt/response parsing fixture table (FIXTURES.md §3)."""
     anchors = ["Page dimensions: 612.0x792.0\n[72x700]Hello\n", ""]
@@ -424,6 +462,9 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         pq.write_table(pa.table(per_page), os.path.join(out_dir, "expected_pages.parquet"))
         pq.write_table(
             compute_expected_images(pages), os.path.join(out_dir, "expected_images.parquet")
+        )
+        pq.write_table(
+            compute_expected_renders(pages), os.path.join(out_dir, "expected_renders.parquet")
         )
     pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
     pq.write_table(pa.table(markdown_cases()), os.path.join(out_dir, "markdown_cases.parquet"))
