@@ -63,6 +63,7 @@ from typhoon_ocr_spark.operators.extract import (
     extract_documents,
     extract_pages,
     extract_pdf_tables,
+    ocr_message_fingerprints,
     page_render_fingerprints,
 )
 from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["extract_tables"] = lambda spark, sf: extract_pdf_tables(_pages(spark, sf))
     q["page_renders"] = lambda spark, sf: page_render_fingerprints(_pages(spark, sf))
+    q["ocr_messages"] = lambda spark, sf: ocr_message_fingerprints(_pages(spark, sf))
     q["url_normalize"] = lambda spark, sf: weburl.url_normalize(_pages(spark, sf))
     q["host_rollup"] = lambda spark, sf: weburl.host_rollup(_pages(spark, sf))
     q["kind_routing"] = lambda spark, sf: classify_pages(_pages(spark, sf)).select(
@@ -285,6 +287,10 @@ def oracle_sql() -> dict[str, str]:
     sql["page_renders"] = (
         f"SELECT url, page, render_w, render_h, render_sha "
         f"FROM read_parquet('{fx}/expected_renders.parquet')"
+    )
+    sql["ocr_messages"] = (
+        f"SELECT url, page, message_sha "
+        f"FROM read_parquet('{fx}/expected_messages.parquet')"
     )
     from typhoon_ocr_spark.functions.textsql import URL_PARTS_PATTERN
 

@@ -281,6 +281,37 @@ def page_renders_udf(payload: pd.Series) -> pd.Series:
     return payload.map(one)
 
 
+MESSAGE_PAGE_STRUCT = StructType(
+    [
+        StructField("page", IntegerType()),
+        StructField("message_sha", StringType()),
+    ]
+)
+
+
+@pandas_udf(ArrayType(MESSAGE_PAGE_STRUCT))
+def ocr_message_shas_udf(url: pd.Series, payload: pd.Series) -> pd.Series:
+    """BINARY pdf payload → per-page sha256 of the COMPLETE LLM request
+    envelope (prompt + base64 page render; prepare_ocr_messages,
+    ocr_utils.py:582-619). The multi-KB envelope never leaves the task
+    — only its 64-hex fingerprint does."""
+    from ..oracle.render import page_ocr_message_sha
+
+    def one(u, blob):
+        if blob is None:
+            return []
+        try:
+            reports = parse_pdf(bytes(blob))
+        except Exception:
+            return []
+        return [
+            {"page": idx, "message_sha": page_ocr_message_sha(u, report, idx)}
+            for idx, report in enumerate(reports, start=1)
+        ]
+
+    return pd.Series([one(u, b) for u, b in zip(url, payload)], dtype="object")
+
+
 @pandas_udf(ArrayType(TABLE_PAGE_STRUCT))
 def page_tables_udf(payload: pd.Series) -> pd.Series:
     """BINARY pdf payload → per-page markdown tables via deterministic

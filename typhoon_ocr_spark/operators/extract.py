@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import (
     linearize_anchor_udf,
+    ocr_message_shas_udf,
     page_renders_udf,
     page_tables_udf,
     sniff_kind_col,
@@ -147,6 +148,20 @@ def page_render_fingerprints(pages: DataFrame) -> DataFrame:
             F.col("pr.render_h").cast("long").alias("render_h"),
             "pr.render_sha",
         )
+    )
+
+
+def ocr_message_fingerprints(pages: DataFrame) -> DataFrame:
+    """Per-page fingerprints of the full LLM request envelope (prompt
+    template applied to the page anchor + the page's base64 PNG render)
+    — the engine-side prepare_ocr_messages, proven end-to-end by sha
+    without shuffling multi-KB envelopes. Output: (url, page,
+    message_sha)."""
+    base = classify_pages(pages).select("url", "kind", "html")
+    return (
+        base.filter(F.col("kind") == "pdf")
+        .select("url", F.explode(ocr_message_shas_udf("url", "html")).alias("pm"))
+        .select("url", F.col("pm.page").cast("long").alias("page"), "pm.message_sha")
     )
 
 

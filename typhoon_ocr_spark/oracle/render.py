@@ -83,3 +83,39 @@ def render_pdf_to_base64png(
     of a PDF → base64-encoded PNG at the target resolution."""
     report = parse_pdf(pdf_bytes)[page_num - 1]
     return base64.b64encode(render_page_to_png(report, target_longest)).decode("ascii")
+
+
+def page_ocr_message(
+    url: str,
+    report: PageReport,
+    page_num: int,
+    task_type: str = "default",
+    anchor_budget: int = 4000,
+) -> list:
+    """The COMPLETE per-page LLM request envelope the reference builds
+    (prepare_ocr_messages, ocr_utils.py:582-619): anchor text → prompt
+    template + the page's base64 PNG render as the image part. Returns
+    the message list (role/content structure byte-compatible with the
+    reference's)."""
+    from .linearize import linearize_page, truncation_rng
+    from .prompts import build_messages, render_prompt
+
+    anchor = linearize_page(report, anchor_budget, truncation_rng(url, page_num))
+    prompt = render_prompt(task_type, anchor)
+    image_b64 = base64.b64encode(render_page_to_png(report)).decode("ascii")
+    return build_messages(prompt, image_b64)
+
+
+def page_ocr_message_sha(url: str, report: PageReport, page_num: int) -> str:
+    """sha256 of the canonical-JSON envelope — the compact fingerprint
+    the correctness gate compares (the envelope itself embeds a
+    multi-KB base64 image; goldens store 64 hex chars instead)."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        page_ocr_message(url, report, page_num),
+        ensure_ascii=False,
+        separators=(",", ":"),
+    )
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()

@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -351,6 +351,31 @@ def compute_expected_renders(pages: Dict[str, list]) -> pa.Table:
     return pa.table(rows, schema=schema)
 
 
+def compute_expected_messages(pages: Dict[str, list]) -> pa.Table:
+    """Golden for the full LLM request envelope (prompt + base64 page
+    render): sha256 per pdf page."""
+    from ..oracle.docpipe import sniff_kind
+    from ..oracle.pdfmini import parse_pdf
+    from ..oracle.render import page_ocr_message_sha
+
+    rows = {k: [] for k in ("url", "page", "message_sha")}
+    for url, payload in zip(pages["url"], pages["html"]):
+        if sniff_kind(payload) != "pdf":
+            continue
+        try:
+            reports = parse_pdf(payload)
+        except Exception:
+            continue
+        for idx, report in enumerate(reports, start=1):
+            rows["url"].append(url)
+            rows["page"].append(idx)
+            rows["message_sha"].append(page_ocr_message_sha(url, report, idx))
+    schema = pa.schema(
+        [("url", pa.string()), ("page", pa.int64()), ("message_sha", pa.string())]
+    )
+    return pa.table(rows, schema=schema)
+
+
 def prompt_cases() -> Dict[str, list]:
     """Prompt/response parsing fixture table (FIXTURES.md §3)."""
     anchors = ["Page dimensions: 612.0x792.0\n[72x700]Hello\n", ""]
@@ -465,6 +490,9 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         )
         pq.write_table(
             compute_expected_renders(pages), os.path.join(out_dir, "expected_renders.parquet")
+        )
+        pq.write_table(
+            compute_expected_messages(pages), os.path.join(out_dir, "expected_messages.parquet")
         )
     pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
     pq.write_table(pa.table(markdown_cases()), os.path.join(out_dir, "markdown_cases.parquet"))
