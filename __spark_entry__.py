@@ -54,6 +54,7 @@ from typhoon_ocr_spark.operators import (
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     textstats,
     weburl,
@@ -176,6 +177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda spark, sf: textstats.quality_scores(_t(spark, sf, "documents"))
     q["token_counts"] = lambda spark, sf: textstats.token_counts(_t(spark, sf, "documents"))
     q["fingerprints"] = lambda spark, sf: textstats.fingerprints(_t(spark, sf, "documents"))
+    q["dataset_split"] = lambda spark, sf: sampling.train_val_test_split(
+        _t(spark, sf, "documents").select("doc_id")
+    )
+    q["stratified_sample"] = lambda spark, sf: sampling.stratified_sample(
+        _t(spark, sf, "documents").select("doc_id", "lang"),
+        rates={"en": 0.5, "th": 1.0},
+        default_rate=0.25,
+    )
     q["ann_topk"] = lambda spark, sf: similarity.cosine_topk(_t(spark, sf, "embeddings"))
     q["ann_lsh_buckets"] = lambda spark, sf: similarity.lsh_sign_buckets(
         _t(spark, sf, "embeddings")
@@ -545,6 +554,8 @@ def oracle_sql() -> dict[str, str]:
         "JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id"
     )
 
+    sql["dataset_split"] = "SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8) < '19999999' THEN 'val' WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8) < '33333333' THEN 'test' ELSE 'train' END AS split FROM documents"
+    sql["stratified_sample"] = "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8) < (CASE WHEN lang = 'en' THEN '80000000' WHEN lang = 'th' THEN 'ffffffff' ELSE '40000000' END)"
     sql["lang_id"] = (
         "SELECT doc_id, CAST(round(1000.0 * "
         f"length(regexp_replace(text, '{THAI_NEGATED_CLASS}', '', 'g')) / "

@@ -1,0 +1,86 @@
+"""Deterministic sampling + dataset splits — training-data plumbing.
+
+Production corpus pipelines never use RNG sampling (irreproducible
+across reruns/engines); they hash a stable key into a fixed range and
+cut thresholds. Same here: the hash is the first 8 hex chars of
+md5(key || salt); a rate r maps to the hex threshold
+format(int(r * 2^32), '08x') and fixed-width lowercase hex compares
+lexicographically == numerically — identical in Spark and DuckDB, so
+sampling decisions are engine-portable and re-runs pick the EXACT same
+rows (the property exactly-once ingest needs).
+
+Operators:
+- ``deterministic_sample``  keep rows with hash-hex < threshold(rate)
+- ``train_val_test_split``  assign split labels by hash range
+- ``stratified_sample``     per-stratum rates (e.g. lang balancing)
+
+All three are map-only (filter/projection at the scan): no shuffle,
+no RNG, no driver round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SPLIT_SALT = "split-v1"
+
+
+def hex_threshold(rate: float) -> str:
+    """Rate in [0,1] → 8-hex cut point (clamped)."""
+    n = max(0, min(int(rate * (1 << 32)), (1 << 32) - 1))
+    return format(n, "08x")
+
+
+def hash_hex(key: Column, salt: str = SPLIT_SALT) -> Column:
+    """First 8 lowercase hex chars of md5(key || salt)."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = SPLIT_SALT
+) -> DataFrame:
+    """Engine-portable Bernoulli sample: a row is in the sample iff its
+    key-hash falls below the rate threshold — stable across reruns,
+    partitionings, and engines."""
+    return df.filter(hash_hex(F.col(key_col), salt) < hex_threshold(rate))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val: float = 0.1,
+    test: float = 0.1,
+    key_col: str = "doc_id",
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Split assignment by hash range: [0, val) → val, [val, val+test)
+    → test, rest → train. Output: input columns + ``split``."""
+    h = hash_hex(F.col(key_col), salt)
+    split = (
+        F.when(h < hex_threshold(val), F.lit("val"))
+        .when(h < hex_threshold(val + test), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the language-balancing /
+    source-mixing step of corpus curation): stratum s keeps its rows
+    whose key-hash < threshold(rates[s])."""
+    h = hash_hex(F.col(key_col), salt)
+    threshold = F.lit(hex_threshold(default_rate))
+    for stratum, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(hex_threshold(r))
+        ).otherwise(threshold)
+    return df.filter(h < threshold)
