@@ -35,9 +35,10 @@ from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# A/B hook for the optional page-spread exchange (BENCH.md)
+# A/B hook for the optional page-spread exchange (BENCH.md); default
+# follows PipelineConfig (spread ON — the measured 32-core winner)
 PIPE_CONFIG = PipelineConfig(
-    page_spread=os.environ.get("SPARK_GRAFT_PAGE_SPREAD", "0") == "1"
+    page_spread=os.environ.get("SPARK_GRAFT_PAGE_SPREAD", "1") == "1"
 )
 
 
