@@ -159,7 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["embedding_near_dups"] = lambda spark, sf: similarity.embedding_near_dups(
-        _t(spark, sf, "embeddings")
+        _t(spark, sf, "embeddings"), n_dims=64
     )
     q["ocr_requests"] = lambda spark, sf: (
         _fixture(spark, sf, "expected_pages")
@@ -187,13 +187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_topk"] = lambda spark, sf: similarity.cosine_topk(_t(spark, sf, "embeddings"))
     q["ann_lsh_buckets"] = lambda spark, sf: similarity.lsh_sign_buckets(
-        _t(spark, sf, "embeddings")
+        _t(spark, sf, "embeddings"), n_dims=64
     )
     q["ann_ivf_assign"] = lambda spark, sf: similarity.ivf_assign(
         _t(spark, sf, "embeddings")
     )
     q["ann_lsh_topk"] = lambda spark, sf: similarity.lsh_bucketed_topk(
-        _t(spark, sf, "embeddings")
+        _t(spark, sf, "embeddings"), n_dims=64
     )
     q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_probed_topk(
         _t(spark, sf, "embeddings")
@@ -312,18 +312,21 @@ def oracle_sql() -> dict[str, str]:
         f"regexp_extract(url, '{URL_PARTS_PATTERN}', 4) AS query "
         f"FROM read_parquet('{fx}/pages.parquet')), "
         "h AS (SELECT url, scheme, "
-        "CASE WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '') "
+        "CASE WHEN scheme = '' THEN NULL "
+        " WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '') "
         " WHEN scheme = 'https' THEN regexp_replace(host_nw, ':443$', '') "
         " ELSE host_nw END AS host, "
         "CASE WHEN path = '' THEN '/' ELSE path END AS path, query FROM u)"
     )
     sql["url_normalize"] = (
-        f"{url_cte} SELECT url, scheme || '://' || host || path || query AS norm_url, "
+        f"{url_cte} SELECT url, CASE WHEN scheme = '' THEN NULL ELSE "
+        "scheme || '://' || host || path || query END AS norm_url, "
         "host FROM h"
     )
     sql["host_rollup"] = (
         f"{url_cte} SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
-        "CAST(count(DISTINCT url) AS BIGINT) AS n_urls FROM h GROUP BY host"
+        "CAST(count(DISTINCT url) AS BIGINT) AS n_urls FROM h "
+        "WHERE host IS NOT NULL GROUP BY host"
     )
     sql["kind_routing"] = (
         f"SELECT url, kind FROM read_parquet('{fx}/expected_docs.parquet')"
@@ -471,9 +474,10 @@ def oracle_sql() -> dict[str, str]:
     sql["ann_lsh_topk"] = (
         f"{mt_cte}, "
         f"qb AS (SELECT vec_id AS query_id, t, bucket FROM tb WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
-        "cand AS (SELECT DISTINCT qb.query_id, tb.vec_id AS neighbor_id "
-        " FROM tb JOIN qb ON tb.t = qb.t AND tb.bucket = qb.bucket "
-        " AND tb.vec_id <> qb.query_id), "
+        f"cap2 AS (SELECT vec_id, t, bucket FROM sized WHERE bsz <= {EMB_MAX_BUCKET}), "
+        "cand AS (SELECT DISTINCT qb.query_id, cap2.vec_id AS neighbor_id "
+        " FROM cap2 JOIN qb ON cap2.t = qb.t AND cap2.bucket = qb.bucket "
+        " AND cap2.vec_id <> qb.query_id), "
         "s AS (SELECT cand.query_id, cand.neighbor_id, "
         " list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS score "
         " FROM cand JOIN n c ON cand.neighbor_id = c.vec_id "

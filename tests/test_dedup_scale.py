@@ -102,3 +102,19 @@ def test_minhash_pairs_plan_single_exchange_for_window_and_group(spark):
     # exchanges: one for the doc_id signature agg, one for (band,
     # band_hash), one for the final distinct — the window adds none
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_sampling_rate_one_keeps_everything(spark):
+    from typhoon_ocr_spark.operators.sampling import (
+        deterministic_sample,
+        hex_threshold,
+        stratified_sample,
+    )
+
+    assert hex_threshold(1.0) == "g"  # above every hex string
+    docs = spark.createDataFrame(
+        [(i, "th" if i % 2 else "en") for i in range(400)], "doc_id long, lang string"
+    )
+    assert deterministic_sample(docs, 1.0).count() == 400
+    kept = stratified_sample(docs, rates={"th": 1.0, "en": 0.0}).collect()
+    assert len(kept) == 200 and all(r["lang"] == "th" for r in kept)

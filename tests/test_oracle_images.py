@@ -124,3 +124,30 @@ def test_image_pixel_stats_operator(spark):
     assert got["u-png"]["n_samples"] == 200
     assert got["u-gif"]["decoded"] == "header-only"
     assert got["u-gif"]["width"] == 64 and got["u-gif"]["n_samples"] is None
+
+
+def test_palette_png_is_decode_error_row_not_task_failure(spark):
+    """Header parses (dims OK) but the body is undecodable (palette
+    color type) — must become decoded='decode-error', never an
+    exception out of the UDF."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from typhoon_ocr_spark.oracle.images import PNG_MAGIC, _png_chunk
+    from typhoon_ocr_spark.operators.multimodal import image_pixel_stats
+
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # color type 3
+    palette_png = (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(9))
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(20)))
+        + _png_chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [("u-pal", bytearray(palette_png))], "url string, html binary"
+    )
+    (row,) = image_pixel_stats(df).collect()
+    assert row["decoded"] == "decode-error"
+    assert (row["width"], row["height"]) == (4, 4)
+    assert row["n_samples"] is None

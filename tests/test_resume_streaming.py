@@ -231,3 +231,16 @@ def test_stream_extract_checkpointed(spark, fixture_dir, tmp_path):
     # resume with nothing new → no duplicate outputs
     stream_extract(spark, src, out, ckpt)
     assert spark.read.parquet(out).count() == 200
+
+
+def test_bucket_count_change_fails_loudly(spark, pages_path, tmp_path):
+    """Rehashing an existing out_root with a different bucket count
+    would orphan staged rows or commit fabricated-empty buckets."""
+    out = str(tmp_path / "o")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ResumableExtractJob(spark, pages_path, out, n_buckets=8).run(fail_after=1)
+    with pytest.raises(RuntimeError, match="n_buckets"):
+        ResumableExtractJob(spark, pages_path, out, n_buckets=4).run()
+    # original count resumes fine
+    summary = ResumableExtractJob(spark, pages_path, out, n_buckets=8).run()
+    assert summary["committed"] == 8

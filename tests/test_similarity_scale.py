@@ -59,3 +59,31 @@ def test_lsh_sign_buckets_no_driver_probe(spark):
     after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     assert len(after) == len(before)  # plan construction ran zero jobs
     assert df.columns == ["vec_id", "bucket"]
+
+
+def test_lsh_probes_true_width_by_default(spark):
+    """Non-64-dim embeddings must hash correctly (a wrong plane width
+    nulls every projection and collapses all vectors into one bucket)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    buckets = {r["bucket"] for r in similarity.lsh_sign_buckets(emb).collect()}
+    assert len(buckets) > 1
+    tb = similarity.lsh_table_buckets(emb)
+    assert tb.select("bucket").distinct().count() > 1
+
+
+def test_lsh_topk_cap_drops_degenerate_cells(spark):
+    """A flood of identical vectors lands in one cell per table; with a
+    small cap those cells are dropped from the candidate side and only
+    small-cell neighbors remain."""
+    flood = [(i, [1.0] * 8) for i in range(30)]          # one giant cell
+    distinct = [(100, [0.9, 0.1] * 4), (200, [0.88, 0.12] * 4)]
+    emb = spark.createDataFrame(flood + distinct, "vec_id long, embedding array<float>")
+    got = similarity.lsh_bucketed_topk(
+        emb, query_every=100, k=5, max_bucket=10
+    ).collect()
+    neighbors = {r["neighbor_id"] for r in got}
+    assert not any(n < 30 for n in neighbors)  # flood cells were capped out

@@ -14,6 +14,7 @@ TRICKY = [
     "http://plain.test",
     "https://www.deep.sub.test/a/b/c?q=1",
     "ftp://files.test:21/pub",
+    "no-scheme.example/path",  # malformed: must yield NULLs, not ':///'
 ]
 
 EXPECTED = {
@@ -26,6 +27,7 @@ EXPECTED = {
     "https://www.deep.sub.test/a/b/c?q=1": (
         "https://deep.sub.test/a/b/c?q=1", "deep.sub.test"),
     "ftp://files.test:21/pub": ("ftp://files.test:21/pub", "files.test:21"),
+    "no-scheme.example/path": (None, None),
 }
 
 
@@ -54,11 +56,13 @@ def test_duckdb_twin_agrees_on_tricky_urls(spark):
         f"regexp_extract(url, '{URL_PARTS_PATTERN}', 4) AS query "
         "FROM urls), "
         "h AS (SELECT url, scheme, "
-        "CASE WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '') "
+        "CASE WHEN scheme = '' THEN NULL "
+        " WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '') "
         " WHEN scheme = 'https' THEN regexp_replace(host_nw, ':443$', '') "
         " ELSE host_nw END AS host, "
         "CASE WHEN path = '' THEN '/' ELSE path END AS path, query FROM u) "
-        "SELECT url, scheme || '://' || host || path || query AS norm_url, host FROM h"
+        "SELECT url, CASE WHEN scheme = '' THEN NULL ELSE "
+        "scheme || '://' || host || path || query END AS norm_url, host FROM h"
     ).fetchall()
     d = {u: (n, h) for u, n, h in rows}
     assert s == d
@@ -66,7 +70,7 @@ def test_duckdb_twin_agrees_on_tricky_urls(spark):
 
 def test_host_rollup(spark):
     rows = [("https://a.test/1",), ("https://a.test/2",), ("https://a.test/2",),
-            ("http://www.b.test/x",)]
+            ("http://www.b.test/x",), ("garbage-without-scheme",)]
     df = spark.createDataFrame(rows, "url string")
     got = {r["host"]: (r["n_pages"], r["n_urls"]) for r in weburl.host_rollup(df).collect()}
     assert got == {"a.test": (3, 2), "b.test": (1, 1)}

@@ -178,8 +178,14 @@ def image_pixel_stats(pages: DataFrame) -> DataFrame:
                 except ImageError:
                     continue
                 if kind == "png":
-                    n, mean_pm, spread_pm = png_pixel_stats(blob)
-                    vals = (n, mean_pm, spread_pm, "real")
+                    # header parsed but the body may still be
+                    # undecodable (palette/interlaced/16-bit/corrupt
+                    # IDAT) — error-as-row, never a task failure
+                    try:
+                        n, mean_pm, spread_pm = png_pixel_stats(blob)
+                        vals = (n, mean_pm, spread_pm, "real")
+                    except ImageError:
+                        vals = (None, None, None, "decode-error")
                 else:
                     vals = (None, None, None, "header-only")
                 rows["url"].append(url)

@@ -29,8 +29,14 @@ SPLIT_SALT = "split-v1"
 
 
 def hex_threshold(rate: float) -> str:
-    """Rate in [0,1] → 8-hex cut point (clamped)."""
-    n = max(0, min(int(rate * (1 << 32)), (1 << 32) - 1))
+    """Rate in [0,1] → 8-hex cut point (strict less-than compare).
+    rate >= 1.0 returns 'g' — lexicographically above every hex string,
+    so a keep-everything stratum really keeps EVERYTHING (clamping to
+    'ffffffff' under strict '<' would drop the ~2^-32 of rows whose
+    hash is exactly ffffffff)."""
+    if rate >= 1.0:
+        return "g"
+    n = max(0, int(rate * (1 << 32)))
     return format(n, "08x")
 
 

@@ -113,14 +113,20 @@ def lsh_table_buckets(
     embeddings: DataFrame,
     n_tables: int = ANN_LSH_TABLES,
     planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
-    n_dims: int | None = EMB_DIMS,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Multi-table sign-LSH routing: one (vec_id, t, bucket) row per
     table; table t hashes with planes [t*ppt, (t+1)*ppt). All tables
     derive from one deterministic plane family, so the DuckDB oracle
     can inline identical constants. Output keeps the id only — vectors
     are re-joined AFTER candidate dedup so the bucket shuffle never
-    carries embeddings."""
+    carries embeddings.
+
+    ``n_dims=None`` probes the actual width (one tiny driver job);
+    pass it explicitly (the driver contract passes 64) to skip the
+    probe. NEVER default to a constant: zip_with against a wrong-width
+    plane literal yields null dots → every bit '0' → one global
+    bucket, silently."""
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = embeddings.select("vec_id", e.alias("e"))
     if n_dims is None:
@@ -146,6 +152,7 @@ def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = NEAR_DUP_COSINE,
     max_bucket: int = EMB_MAX_BUCKET,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     blocking + exact cosine within candidates (the scale path — no
@@ -153,7 +160,7 @@ def embedding_near_dups(
     it shares a bucket in >=1 of the ANN_LSH_TABLES tables; recall for
     pairs at the threshold is 1-(1-p^planes)^tables where
     p = 1 - angle/pi. Output: (vec_a, vec_b, cos_pct BIGINT)."""
-    buckets = lsh_table_buckets(embeddings)
+    buckets = lsh_table_buckets(embeddings, n_dims=n_dims)
     pairs = _bucket_pairs(buckets, ["t", "bucket"], "vec_id", max_bucket).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -174,22 +181,30 @@ def lsh_bucketed_topk(
     query_every: int = ANN_QUERY_EVERY,
     k: int = ANN_TOP_K,
     max_bucket: int = EMB_MAX_BUCKET,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """ANN search WITHIN the LSH routing tables (the operator the
     round-1 bucket columns existed to serve): candidates for a query
     are vectors sharing any (table, bucket) cell; exact cosine ranks
     them; top-k per query. May return <k rows for a query when its
     cells hold fewer candidates — that's the accuracy/cost dial.
-    Output: (query_id, rank, neighbor_id); recall vs the exact
+    Degenerate cells larger than ``max_bucket`` are dropped from the
+    candidate side before the join fan-out (window count, same
+    OOM-guard as the pair generators); the DuckDB twin mirrors the
+    cap. Output: (query_id, rank, neighbor_id); recall vs the exact
     ``cosine_topk`` is reported in BENCH.md."""
-    buckets = lsh_table_buckets(embeddings)
+    buckets = lsh_table_buckets(embeddings, n_dims=n_dims)
     qb = buckets.filter(F.col("vec_id") % query_every == 0).select(
         F.col("vec_id").alias("query_id"), "t", "bucket"
+    )
+    w = Window.partitionBy("t", "bucket")
+    capped = buckets.withColumn("_csz", F.count(F.lit(1)).over(w)).filter(
+        F.col("_csz") <= max_bucket
     )
     # broadcast the tiny query-side routing rows; candidate ids dedupe
     # before any vector is joined back in
     cand = (
-        buckets.join(F.broadcast(qb), ["t", "bucket"])
+        capped.join(F.broadcast(qb), ["t", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
@@ -227,13 +242,15 @@ def lsh_plane_signs(n_dims: int, n_planes: int = 8) -> list:
 
 
 def lsh_sign_buckets(
-    embeddings: DataFrame, n_planes: int = 8, n_dims: int | None = EMB_DIMS
+    embeddings: DataFrame, n_planes: int = 8, n_dims: int | None = None
 ) -> DataFrame:
     """Sign-LSH bucket per vector: bit j = sign of the projection onto a
     deterministic ±1 hyperplane. Bucket-join variant of ANN: at 10^12
     vectors, equal buckets become the join key and brute force runs
-    only within buckets. ``n_dims`` avoids a driver-side probe job per
-    invocation (pass None to probe). Output: (vec_id, bucket)."""
+    only within buckets. Pass ``n_dims`` explicitly to skip the
+    driver-side width probe (never default it to a constant — a wrong
+    width nulls every projection and collapses all vectors into one
+    bucket). Output: (vec_id, bucket)."""
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = embeddings.select("vec_id", e.alias("e"))
     if n_dims is None:

@@ -27,7 +27,10 @@ def _part(col: Column, group: int) -> Column:
 
 
 def normalized_url_col(col: Column) -> Column:
-    """Canonical URL as one JVM expression (rules in module doc)."""
+    """Canonical URL as one JVM expression (rules in module doc).
+    URLs that don't match the splitter (no scheme, malformed) yield
+    NULL — never a garbage ':///' that would silently collapse every
+    malformed URL into one value."""
     scheme = F.lower(_part(col, 1))
     host_raw = F.lower(_part(col, 2))
     host_nw = F.regexp_replace(host_raw, r"^www\.", "")
@@ -40,18 +43,21 @@ def normalized_url_col(col: Column) -> Column:
     path = _part(col, 3)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = _part(col, 4)  # keeps the leading '?', empty string if none
-    return F.concat(scheme, F.lit("://"), host, path, query)
+    norm = F.concat(scheme, F.lit("://"), host, path, query)
+    return F.when(scheme != "", norm)
 
 
 def host_col(col: Column) -> Column:
-    """Canonical host (lowercased, www- and default-port-stripped)."""
+    """Canonical host (lowercased, www- and default-port-stripped);
+    NULL for URLs the splitter can't parse."""
     scheme = F.lower(_part(col, 1))
     host_nw = F.regexp_replace(F.lower(_part(col, 2)), r"^www\.", "")
-    return (
+    host = (
         F.when(scheme == "http", F.regexp_replace(host_nw, ":80$", ""))
         .when(scheme == "https", F.regexp_replace(host_nw, ":443$", ""))
         .otherwise(host_nw)
     )
+    return F.when(scheme != "", host)
 
 
 def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
@@ -66,11 +72,13 @@ def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
 
 def host_rollup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Pages per canonical host — the shard/politeness histogram every
-    crawl pipeline starts from. One shuffle on the host key, map-side
-    partial agg. Output: (host, n_pages, n_urls)."""
+    crawl pipeline starts from. Unparseable URLs (NULL host) are
+    excluded rather than aggregated into a fake '' host. One shuffle on
+    the host key, map-side partial agg. Output: (host, n_pages, n_urls)."""
     c = F.col(url_col)
     return (
         pages.select(host_col(c).alias("host"), c.alias("url"))
+        .filter(F.col("host").isNotNull())
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_pages"),

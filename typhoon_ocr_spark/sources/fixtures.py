@@ -286,8 +286,11 @@ def compute_expected_images(pages: Dict[str, list]) -> pa.Table:
         except ImageError:
             continue
         if kind == "png":
-            n, mean_pm, spread_pm = png_pixel_stats(payload)
-            vals = (n, mean_pm, spread_pm, "real")
+            try:
+                n, mean_pm, spread_pm = png_pixel_stats(payload)
+                vals = (n, mean_pm, spread_pm, "real")
+            except ImageError:
+                vals = (None, None, None, "decode-error")
         else:
             vals = (None, None, None, "header-only")
         rows["url"].append(url)

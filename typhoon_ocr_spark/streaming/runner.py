@@ -154,8 +154,20 @@ class ResumableExtractJob:
         manifest_path = self._layout_manifest()
         if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
-                if json.load(fh).get("source_snapshot") == snapshot:
-                    return
+                manifest = json.load(fh)
+            if manifest.get("n_buckets") != self.n_buckets:
+                # bucket count keys BOTH the layout dirs and the
+                # committed manifests; silently rehashing would orphan
+                # staged rows (buckets >= new count never read) or
+                # commit fabricated-empty buckets
+                raise RuntimeError(
+                    f"out_root was staged with n_buckets="
+                    f"{manifest.get('n_buckets')}, not {self.n_buckets}; "
+                    "finish with the original bucket count or use a "
+                    "fresh output dir"
+                )
+            if manifest.get("source_snapshot") == snapshot:
+                return
             shutil.rmtree(self.layout_dir, ignore_errors=True)
         (
             self.spark.read.parquet(self.pages_path)
