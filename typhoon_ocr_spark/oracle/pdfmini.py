@@ -55,13 +55,15 @@ _SIMPLE_LITERAL_RE = re.compile(rb"[^()\\]*\)")
 
 # master scanner: one compiled alternation per token class; the lexer
 # dispatches on lastgroup instead of probing byte classes one call at
-# a time (the tokenizer dominated parse CPU in profiles)
+# a time (the tokenizer dominated parse CPU in profiles). Leading
+# whitespace folds into the same match so the common token costs ONE
+# regex call, not a ws-match plus a token-match.
 _SCAN_RE = re.compile(
-    rb"(?P<ws>[\x00\t\n\x0c\r ]+)"
-    rb"|(?P<comment>%[^\r\n]*)"
-    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"[\x00\t\n\x0c\r ]*"
+    rb"(?:(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%+\-.0-9][^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<comment>%[^\r\n]*))?"
 )
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -101,16 +103,18 @@ class _Lexer:
             if self.pos >= n:
                 return None
             m = _SCAN_RE.match(d, self.pos)
-            if m:
+            if m and m.lastgroup:
                 kind = m.lastgroup
                 self.pos = m.end()
-                if kind == "ws" or kind == "comment":
-                    continue
                 if kind == "num":
-                    return self._finish_number(m.group(0))
-                if kind == "name":
-                    return m.group(0).decode("latin-1")
-                return m.group(0).decode("latin-1")  # op
+                    return self._finish_number(m.group(kind))
+                if kind == "comment":
+                    continue
+                return m.group(kind).decode("latin-1")  # name or op
+            if m and m.end() > self.pos:
+                self.pos = m.end()  # pure whitespace before a delimiter
+                if self.pos >= n:
+                    return None
 
             c = d[self.pos]
             if c == 0x28:  # ( literal string
