@@ -52,12 +52,17 @@ def _cluster(values: Sequence[float], tol: float) -> List[float]:
 
 
 def _nearest(centers: List[float], v: float) -> int:
-    best, best_d = 0, abs(centers[0] - v)
-    for i, c in enumerate(centers[1:], start=1):
-        d = abs(c - v)
-        if d < best_d:
-            best, best_d = i, d
-    return best
+    # centers are sorted ascending: binary-search the insertion point
+    # and compare the two neighbors (ties keep the lower index, same
+    # as the previous linear scan's strict-< update rule)
+    from bisect import bisect_left
+
+    i = bisect_left(centers, v)
+    if i == 0:
+        return 0
+    if i == len(centers):
+        return i - 1
+    return i - 1 if v - centers[i - 1] <= centers[i] - v else i
 
 
 def detect_table(
