@@ -159,7 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["embedding_near_dups"] = lambda spark, sf: similarity.embedding_near_dups(
-        _t(spark, sf, "embeddings"), n_dims=64
+        _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
     q["ocr_requests"] = lambda spark, sf: (
         _fixture(spark, sf, "expected_pages")
@@ -187,13 +187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_topk"] = lambda spark, sf: similarity.cosine_topk(_t(spark, sf, "embeddings"))
     q["ann_lsh_buckets"] = lambda spark, sf: similarity.lsh_sign_buckets(
-        _t(spark, sf, "embeddings"), n_dims=64
+        _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
     q["ann_ivf_assign"] = lambda spark, sf: similarity.ivf_assign(
         _t(spark, sf, "embeddings")
     )
     q["ann_lsh_topk"] = lambda spark, sf: similarity.lsh_bucketed_topk(
-        _t(spark, sf, "embeddings"), n_dims=64
+        _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
     q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_probed_topk(
         _t(spark, sf, "embeddings")
@@ -430,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
     from typhoon_ocr_spark.operators.similarity import (
         ANN_LSH_PLANES_PER_TABLE,
         ANN_LSH_TABLES,
+        EMB_DIMS,
         EMB_MAX_BUCKET,
         IVF_CENTROID_EVERY,
         IVF_PROBES,
@@ -447,14 +448,14 @@ def oracle_sql() -> dict[str, str]:
             for signs in planes
         )
 
-    planes = lsh_plane_signs(64, 8)
+    planes = lsh_plane_signs(EMB_DIMS, 8)
     sql["ann_lsh_buckets"] = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings) "
         f"SELECT vec_id, {bucket_bits_sql(planes)} AS bucket FROM v"
     )
 
     # multi-table LSH routing rows (shared by near-dups + bucketed topk)
-    mt_planes = lsh_plane_signs(64, ANN_LSH_TABLES * ANN_LSH_PLANES_PER_TABLE)
+    mt_planes = lsh_plane_signs(EMB_DIMS, ANN_LSH_TABLES * ANN_LSH_PLANES_PER_TABLE)
     table_rows = " UNION ALL ".join(
         f"SELECT vec_id, e, nrm, {t} AS t, "
         + bucket_bits_sql(
@@ -558,8 +559,23 @@ def oracle_sql() -> dict[str, str]:
         "JOIN sets a ON p.doc_a = a.doc_id JOIN sets b ON p.doc_b = b.doc_id"
     )
 
-    sql["dataset_split"] = "SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8) < '19999999' THEN 'val' WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8) < '33333333' THEN 'test' ELSE 'train' END AS split FROM documents"
-    sql["stratified_sample"] = "SELECT doc_id, lang FROM documents WHERE substring(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8) < (CASE WHEN lang = 'en' THEN '80000000' WHEN lang = 'th' THEN 'ffffffff' ELSE '40000000' END)"
+    # sampling twins: thresholds come from the SAME hex_threshold the
+    # engine uses, computed here at call time — never bake the literals
+    # (a baked 'ffffffff' for rate 1.0 diverged from the engine's 'g')
+    from typhoon_ocr_spark.operators.sampling import SPLIT_SALT, hex_threshold
+
+    h8 = f"substring(md5(CAST(doc_id AS VARCHAR) || '{SPLIT_SALT}'), 1, 8)"
+    sql["dataset_split"] = (
+        f"SELECT doc_id, CASE WHEN {h8} < '{hex_threshold(0.1)}' THEN 'val' "
+        f"WHEN {h8} < '{hex_threshold(0.2)}' THEN 'test' ELSE 'train' END AS split "
+        "FROM documents"
+    )
+    sql["stratified_sample"] = (
+        f"SELECT doc_id, lang FROM documents WHERE {h8} < "
+        f"(CASE WHEN lang = 'en' THEN '{hex_threshold(0.5)}' "
+        f"WHEN lang = 'th' THEN '{hex_threshold(1.0)}' "
+        f"ELSE '{hex_threshold(0.25)}' END)"
+    )
     sql["lang_id"] = (
         "SELECT doc_id, CAST(round(1000.0 * "
         f"length(regexp_replace(text, '{THAI_NEGATED_CLASS}', '', 'g')) / "

@@ -149,53 +149,37 @@ IMAGE_STATS_SCHEMA = StructType(
         StructField("n_samples", LongType()),     # pixels*channels (png) / NULL
         StructField("mean_pm", LongType()),       # per-mille of full scale
         StructField("spread_pm", LongType()),
-        StructField("decoded", StringType()),     # 'real' | 'header-only'
+        StructField("decoded", StringType()),     # 'real' | 'header-only' | 'decode-error'
     ]
 )
+
+_IMAGE_STATS_COLS = ("img_kind", "width", "height", "n_samples",
+                     "mean_pm", "spread_pm", "decoded")
 
 
 def image_pixel_stats(pages: DataFrame) -> DataFrame:
     """REAL decode over the raster rows of a pages corpus: PNG payloads
     inflate + unfilter to pixels (pure stdlib) and report deterministic
     pixel statistics; codec-needing formats (JPEG/GIF/WebP) report
-    header dimensions with decoded='header-only'. mapInPandas streams
-    Arrow batches — bounded memory at any corpus size; only url+payload
-    enter the UDF."""
+    header dimensions with decoded='header-only'; PNGs whose body won't
+    decode become decoded='decode-error' rows (never task failures).
+    Row semantics live in oracle/images.image_stats_row — the single
+    function the fixture golden also runs. mapInPandas streams Arrow
+    batches — bounded memory at any corpus size; only url+payload enter
+    the UDF."""
     from ..functions.udfs import sniff_kind_col
-    from ..oracle.images import ImageError, image_dimensions, png_pixel_stats, sniff_image_kind
+    from ..oracle.images import image_stats_row
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {k: [] for k in ("url", "img_kind", "width", "height",
-                                    "n_samples", "mean_pm", "spread_pm", "decoded")}
+            rows = {k: [] for k in ("url",) + _IMAGE_STATS_COLS}
             for url, payload in zip(pdf["url"], pdf["html"]):
-                blob = bytes(payload) if payload is not None else b""
-                kind = sniff_image_kind(blob)
-                if kind is None:
+                stats = image_stats_row(bytes(payload) if payload is not None else b"")
+                if stats is None:
                     continue
-                try:
-                    w, h = image_dimensions(blob)
-                except ImageError:
-                    continue
-                if kind == "png":
-                    # header parsed but the body may still be
-                    # undecodable (palette/interlaced/16-bit/corrupt
-                    # IDAT) — error-as-row, never a task failure
-                    try:
-                        n, mean_pm, spread_pm = png_pixel_stats(blob)
-                        vals = (n, mean_pm, spread_pm, "real")
-                    except ImageError:
-                        vals = (None, None, None, "decode-error")
-                else:
-                    vals = (None, None, None, "header-only")
                 rows["url"].append(url)
-                rows["img_kind"].append(kind)
-                rows["width"].append(w)
-                rows["height"].append(h)
-                rows["n_samples"].append(vals[0])
-                rows["mean_pm"].append(vals[1])
-                rows["spread_pm"].append(vals[2])
-                rows["decoded"].append(vals[3])
+                for col, val in zip(_IMAGE_STATS_COLS, stats):
+                    rows[col].append(val)
             yield pd.DataFrame(rows)
 
     image_rows = pages.withColumn("kind", sniff_kind_col("html")).filter(

@@ -39,8 +39,17 @@ from .dedup import _bucket_pairs
 ANN_LSH_TABLES = 8
 ANN_LSH_PLANES_PER_TABLE = 4
 EMB_MAX_BUCKET = 4096  # cap never binds at fixture scale; guards 10^12
-EMB_DIMS = 64  # testdata embeddings width (probe fallback when None)
+EMB_DIMS = 64  # the testdata embeddings width — callers that know their
+# corpus (the driver contract, the oracle twins) pass it to skip the
+# width probe; operators themselves default to probing (n_dims=None)
 IVF_PROBES = 4
+
+
+def _probe_dims(df) -> int:
+    """Actual embedding width, 0 for an empty/null-headed frame (a
+    None-subscript here used to crash the driver on empty corpora)."""
+    row = df.filter(F.col("e").isNotNull()).select(F.size("e").alias("n")).first()
+    return int(row["n"]) if row is not None and row["n"] is not None else 0
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -130,7 +139,12 @@ def lsh_table_buckets(
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = embeddings.select("vec_id", e.alias("e"))
     if n_dims is None:
-        n_dims = df.select(F.size("e").alias("n")).first()["n"]
+        n_dims = _probe_dims(df)
+    if not n_dims:  # empty corpus: empty routing table, not a crash
+        return (
+            df.select("vec_id", F.lit(0).cast("int").alias("t"),
+                      F.lit("").alias("bucket")).limit(0)
+        )
     planes = lsh_plane_signs(n_dims, n_tables * planes_per_table)
 
     tables = []
@@ -254,7 +268,9 @@ def lsh_sign_buckets(
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = embeddings.select("vec_id", e.alias("e"))
     if n_dims is None:
-        n_dims = df.select(F.size("e").alias("n")).first()["n"]
+        n_dims = _probe_dims(df)
+    if not n_dims:  # empty corpus: empty result, not a crash
+        return df.select("vec_id", F.lit("").alias("bucket")).limit(0)
 
     bits = []
     for signs in lsh_plane_signs(n_dims, n_planes):

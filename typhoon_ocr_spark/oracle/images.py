@@ -177,6 +177,30 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     return width, height, channels, pixels[:expected]
 
 
+def image_stats_row(payload: bytes) -> Optional[Tuple]:
+    """Shared per-image row for the pixel-stats surface (the Spark UDF
+    and the fixture golden MUST run this same function or the
+    byte-identical gate drifts): (img_kind, width, height, n_samples,
+    mean_pm, spread_pm, decoded) — decoded is 'real' (PNG pixel stats),
+    'header-only' (codec-needing formats), or 'decode-error' (header
+    parsed but the body doesn't decode). None for non-images /
+    unparseable headers."""
+    kind = sniff_image_kind(payload)
+    if kind is None:
+        return None
+    try:
+        w, h = image_dimensions(payload)
+    except ImageError:
+        return None
+    if kind != "png":
+        return (kind, w, h, None, None, None, "header-only")
+    try:
+        n, mean_pm, spread_pm = png_pixel_stats(payload)
+        return (kind, w, h, n, mean_pm, spread_pm, "real")
+    except ImageError:
+        return (kind, w, h, None, None, None, "decode-error")
+
+
 def png_pixel_stats(data: bytes) -> Tuple[int, int, int]:
     """(n_pixels, mean_per_mille, min..max spread_per_mille) —
     deterministic integer pixel statistics for the decode-verification

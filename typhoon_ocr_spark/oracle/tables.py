@@ -23,6 +23,8 @@ byte-identical gate meaningful.
 
 from __future__ import annotations
 
+from bisect import bisect_left
+
 from typing import List, Optional, Sequence, Tuple
 
 from .elements import TextElement
@@ -55,8 +57,6 @@ def _nearest(centers: List[float], v: float) -> int:
     # centers are sorted ascending: binary-search the insertion point
     # and compare the two neighbors (ties keep the lower index, same
     # as the previous linear scan's strict-< update rule)
-    from bisect import bisect_left
-
     i = bisect_left(centers, v)
     if i == 0:
         return 0

@@ -268,39 +268,18 @@ def compute_expected_images(pages: Dict[str, list]) -> pa.Table:
     """Golden for the real-decode path (operators/multimodal.
     image_pixel_stats): PNG pixel statistics, header-only dims for the
     codec-needing formats — computed by the same oracle the UDF runs."""
-    from ..oracle.images import (
-        ImageError,
-        image_dimensions,
-        png_pixel_stats,
-        sniff_image_kind,
-    )
+    from ..oracle.images import image_stats_row
 
-    rows = {k: [] for k in ("url", "img_kind", "width", "height",
-                            "n_samples", "mean_pm", "spread_pm", "decoded")}
+    cols = ("img_kind", "width", "height", "n_samples",
+            "mean_pm", "spread_pm", "decoded")
+    rows = {k: [] for k in ("url",) + cols}
     for url, payload in zip(pages["url"], pages["html"]):
-        kind = sniff_image_kind(payload)
-        if kind is None:
+        stats = image_stats_row(payload)
+        if stats is None:
             continue
-        try:
-            w, h = image_dimensions(payload)
-        except ImageError:
-            continue
-        if kind == "png":
-            try:
-                n, mean_pm, spread_pm = png_pixel_stats(payload)
-                vals = (n, mean_pm, spread_pm, "real")
-            except ImageError:
-                vals = (None, None, None, "decode-error")
-        else:
-            vals = (None, None, None, "header-only")
         rows["url"].append(url)
-        rows["img_kind"].append(kind)
-        rows["width"].append(w)
-        rows["height"].append(h)
-        rows["n_samples"].append(vals[0])
-        rows["mean_pm"].append(vals[1])
-        rows["spread_pm"].append(vals[2])
-        rows["decoded"].append(vals[3])
+        for col, val in zip(cols, stats):
+            rows[col].append(val)
     schema = pa.schema(
         [
             ("url", pa.string()),
