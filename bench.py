@@ -168,7 +168,7 @@ def scaling_probe(rounds: int | None = None) -> dict:
     configurations ``rounds`` times and scores the BEST run per config
     — the only estimator that compares the two cluster sizes under
     equally favorable host conditions. All samples are reported."""
-    rounds = rounds or int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    rounds = rounds or int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     samples = {8: [], 32: []}
     for _ in range(rounds):
         for cores in (8, 32):
