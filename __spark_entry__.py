@@ -161,8 +161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups"] = lambda spark, sf: similarity.embedding_near_dups(
         _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
+    # engine lineage end-to-end: extraction pipeline → prompt render
+    # (round-2 verdict: the fixture-fed variant only proved
+    # fixture→prompt; this composes extract_pages directly, so the
+    # oracle twin now checks engine anchors THROUGH the request build)
     q["ocr_requests"] = lambda spark, sf: (
-        _fixture(spark, sf, "expected_pages")
+        extract_pages(_pages(spark, sf))
         .filter((F.col("kind") == "pdf") & F.col("success"))
         .select(
             "url",

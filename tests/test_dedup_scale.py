@@ -104,6 +104,29 @@ def test_minhash_pairs_plan_single_exchange_for_window_and_group(spark):
     assert plan.count("Exchange hashpartitioning") <= 3
 
 
+def test_jaccard_pairs_single_shingle_lineage(spark):
+    """jaccard_pairs must tokenize+shingle the corpus exactly once: the
+    candidate pipeline and both verification join sides all read the
+    persisted shingle frame (round-2 verdict: the old shape recomputed
+    the minhash pipeline AND shingled both join sides — three scans of
+    the corpus at 100 TB)."""
+    from typhoon_ocr_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"words shared prefix tail {i % 3} more body text here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    jp = jaccard_pairs(docs)
+    plan = jp._jdf.queryExecution().executedPlan().toString()
+    # three consumers (pairs lineage + join sides a/b), all cache reads
+    assert plan.count("InMemoryTableScan") == 3
+    got = {(r["doc_a"], r["doc_b"], r["jaccard_pct"]) for r in jp.collect()}
+    # identical-text cohort pairs verify at exactly 100; any cross-
+    # cohort LSH candidate must verify strictly below
+    assert (0, 3, 100) in got
+    assert all((pct == 100) == (a % 3 == b % 3) for a, b, pct in got)
+
+
 def test_sampling_rate_one_keeps_everything(spark):
     from typhoon_ocr_spark.operators.sampling import (
         deterministic_sample,

@@ -73,6 +73,16 @@ def word_shingles(tokens: Column) -> Column:
     return F.element_at(F.transform(F.array(tokens), build), 1)
 
 
+def shingle_frame(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The shared shingle lineage: (doc_id, sh array<string>) — the one
+    place 3-word shingles are computed. minhash_* and jaccard_pairs all
+    derive from this frame so a verification pass can persist it once
+    instead of re-tokenizing the corpus per consumer. Docs with fewer
+    than SHINGLE_WORDS tokens get an empty array."""
+    toks = word_tokens(F.col(text_col))
+    return documents.select("doc_id", word_shingles(toks).alias("sh"))
+
+
 def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: group by md5(text); keeper = min doc_id.
     Output: (text_md5, dup_count, keeper_id)."""
@@ -88,17 +98,23 @@ def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Per-document MinHash signature: one md5 per shingle, sliced into
     MINHASH_PERMS 4-hex windows; sig_p = min over shingles of slice p
     ("one permutation hashing" family — 8x fewer hash calls than
     hash-per-permutation, measured ~2x faster end-to-end at sf0.1).
-    Documents with <SHINGLE_WORDS tokens are excluded.
+    Documents with <SHINGLE_WORDS tokens are excluded. Pass a
+    (possibly persisted) ``shingle_frame`` result as ``shingles`` to
+    share the tokenize+shingle lineage with other consumers.
     Output: (doc_id, sig_0..sig_{P-1})."""
-    toks = word_tokens(F.col(text_col))
-    exploded = documents.select(
+    sh = shingles if shingles is not None else shingle_frame(documents, text_col)
+    exploded = sh.select(
         "doc_id",
-        F.explode(F.transform(word_shingles(toks), lambda x: F.md5(x))).alias("h"),
+        F.explode(F.transform(F.col("sh"), lambda x: F.md5(x))).alias("h"),
     )
 
     # Shape note: explode(shingles) → groupBy(doc_id).agg(min × P),
@@ -116,11 +132,15 @@ def minhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     return exploded.groupBy("doc_id").agg(*[sig(p) for p in range(MINHASH_PERMS)])
 
 
-def minhash_bands(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_bands(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """LSH banding: hash each band of MINHASH_PERMS/MINHASH_BANDS
     consecutive signature rows. Output: (doc_id, band, band_hash)."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    sigs = minhash_signatures(documents, text_col)
+    sigs = minhash_signatures(documents, text_col, shingles=shingles)
     bands = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
@@ -141,6 +161,7 @@ def minhash_candidate_pairs(
     documents: DataFrame,
     text_col: str = "text",
     max_bucket: int = MINHASH_MAX_BUCKET,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates: distinct doc pairs sharing any LSH band
     bucket. Output: (doc_a, doc_b), doc_a < doc_b.
@@ -160,7 +181,7 @@ def minhash_candidate_pairs(
     aggregation buffer ever materializes an uncapped bucket; the
     groupBy then reuses the window's hash partitioning (one exchange
     total). The DuckDB oracle applies the identical cap."""
-    bands = minhash_bands(documents, text_col)
+    bands = minhash_bands(documents, text_col, shingles=shingles)
     return _bucket_pairs(bands, ["band", "band_hash"], "doc_id", max_bucket)
 
 
@@ -285,15 +306,30 @@ def simhash_near_dups(documents: DataFrame, text_col: str = "text") -> DataFrame
     return simhash_pairs_from_fingerprints(sh)
 
 
-def jaccard_pairs(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Exact 3-word-shingle Jaccard for MinHash candidate pairs
     (verification stage of the near-dup pipeline). Output:
-    (doc_a, doc_b, jaccard_pct BIGINT 0..100)."""
-    toks = word_tokens(F.col(text_col))
-    sets_df = documents.select(
-        "doc_id", F.array_distinct(word_shingles(toks)).alias("shset")
+    (doc_a, doc_b, jaccard_pct BIGINT 0..100).
+
+    Single-lineage shape (round-2 verdict): the shingle frame is built
+    ONCE and persisted; the minhash→bands→pairs candidate side AND both
+    verification join sides read from that cache, so the corpus is
+    tokenized and shingled exactly once instead of three times. At
+    100 TB the same pattern holds with the persist swapped for a
+    parquet checkpoint of the shingle/signature frames."""
+    sh = shingles if shingles is not None else shingle_frame(documents, text_col)
+    if shingles is None:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = minhash_candidate_pairs(documents, text_col, shingles=sh)
+    sets_df = sh.select(
+        "doc_id", F.array_distinct(F.col("sh")).alias("shset")
     ).filter(F.size("shset") > 0)
-    pairs = minhash_candidate_pairs(documents, text_col)
     a = sets_df.alias("a")
     b = sets_df.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset")))
