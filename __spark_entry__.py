@@ -434,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
     from typhoon_ocr_spark.operators.similarity import (
         ANN_LSH_PLANES_PER_TABLE,
         ANN_LSH_TABLES,
+        ANN_MULTIPROBE,
         EMB_DIMS,
         EMB_MAX_BUCKET,
         IVF_CENTROID_EVERY,
@@ -476,9 +477,49 @@ def oracle_sql() -> dict[str, str]:
         " count(*) OVER (PARTITION BY t, bucket) AS bsz FROM tb), "
         f"capped AS (SELECT * FROM sized WHERE bsz > 1 AND bsz <= {EMB_MAX_BUCKET})"
     )
+    # query-side probe rows: per table the query's own bucket plus
+    # (ANN_MULTIPROBE=1) the bucket with its lowest-|projection| bit
+    # flipped — identical argmin tie-break (lowest plane index) as
+    # lsh_query_probes, generated from the same plane constants
+    def probe_rows_sql() -> str:
+        ppt = ANN_LSH_PLANES_PER_TABLE
+        rows = []
+        for t in range(ANN_LSH_TABLES):
+            dots = [
+                "list_dot_product(e, ["
+                + ", ".join(str(s) for s in mt_planes[t * ppt + j])
+                + "])"
+                for j in range(ppt)
+            ]
+            bits = [f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)" for d in dots]
+            fbits = [f"(CASE WHEN {d} >= 0 THEN '0' ELSE '1' END)" for d in dots]
+            rows.append(
+                f"SELECT vec_id AS query_id, {t} AS t, "
+                + " || ".join(bits)
+                + " AS bucket FROM qn"
+            )
+            if ANN_MULTIPROBE:
+                whens = []
+                for j in range(ppt):
+                    conds = [
+                        f"abs({dots[i]}) > abs({dots[j]})"
+                        if i < j
+                        else f"abs({dots[i]}) >= abs({dots[j]})"
+                        for i in range(ppt)
+                        if i != j
+                    ]
+                    flip = " || ".join(bits[:j] + [fbits[j]] + bits[j + 1 :])
+                    whens.append(f"WHEN {' AND '.join(conds) or 'TRUE'} THEN {flip}")
+                rows.append(
+                    f"SELECT vec_id AS query_id, {t} AS t, "
+                    f"CASE {' '.join(whens)} END AS bucket FROM qn"
+                )
+        return " UNION ALL ".join(rows)
+
     sql["ann_lsh_topk"] = (
         f"{mt_cte}, "
-        f"qb AS (SELECT vec_id AS query_id, t, bucket FROM tb WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        f"qn AS (SELECT vec_id, e FROM n WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        f"qb AS ({probe_rows_sql()}), "
         f"cap2 AS (SELECT vec_id, t, bucket FROM sized WHERE bsz <= {EMB_MAX_BUCKET}), "
         "cand AS (SELECT DISTINCT qb.query_id, cap2.vec_id AS neighbor_id "
         " FROM cap2 JOIN qb ON cap2.t = qb.t AND cap2.bucket = qb.bucket "

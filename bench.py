@@ -6,14 +6,16 @@ Prints ONE JSON line:
    "docs_per_sec": ..., "scaling": {...}}
 
 The scaling block evidences the north rule's two-cluster-size criterion
-in-sandbox: the same extraction job on the same input at local[8] vs
-local[32] (subprocesses — one SparkContext per JVM), reporting docs/sec
-at both and efficiency = (rate_32 / rate_8) / 4.
+in-sandbox: the same extraction job on the same input at 2 vs 8
+executors (local-cluster[k,4,3g] — separate executor JVMs, separate
+Python worker pools, engine shipped via spark.submit.pyFiles),
+reporting docs/sec at both and efficiency = (rate_4N / rate_N) / 4.
 
 Usage:
-  python bench.py                 # full bench + scaling probe
-  python bench.py --no-scaling    # skip the two subprocess runs
-  python bench.py --scale-run 8   # internal: one extraction run, JSON out
+  python bench.py                 # full bench + multi-executor scaling probe
+  python bench.py --no-scaling    # skip the scaling subprocess runs
+  python bench.py --shared-jvm    # round-2 style local[8]/local[32] probe
+  python bench.py --scale-run 8 [--cluster]  # internal: one run, JSON out
 """
 
 from __future__ import annotations
@@ -71,13 +73,48 @@ def _dir_bytes(path: str) -> int:
     )
 
 
-def scale_run(cores: int) -> None:
+def _package_zip() -> str:
+    """Zip the engine package for spark.submit.pyFiles (the in-process
+    equivalent of spark-submit --py-files): executor Python workers in
+    local-cluster mode import the engine from this archive, exactly as
+    they would on a real cluster."""
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "typhoon_ocr_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        pkg = os.path.join(repo, "typhoon_ocr_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+    return zpath
+
+
+# executor shape for the multi-executor (local-cluster) scaling probe:
+# fixed cores-per-executor so the two configs differ ONLY in executor
+# COUNT — the north rule's "N and 4N executors" stated literally
+# (2 executors vs 8 executors, 4 cores each).
+CLUSTER_EXEC_CORES = 4
+CLUSTER_EXEC_MEM_MB = 3072
+
+
+def scale_run(cores: int, cluster: bool = False) -> None:
     """Internal single-run mode for the scaling probe. Uses the large
     'scaling' tier, unioned SPARK_GRAFT_SCALE_MULT times (default 2 →
     480k docs): the N-vs-4N criterion needs a job whose runtime is
     dominated by throughput, not by fixed startup/scheduling costs —
     at 2x the per-config rates stabilize to ±5% across throttle
-    windows (BENCH.md round 2)."""
+    windows (BENCH.md round 2).
+
+    ``cluster=True`` runs the SAME job under local-cluster[k,4,3g]:
+    separate executor JVMs, each with its own shuffle service, Python
+    worker pool, and parquet-write tasks — the closest in-sandbox
+    analog of a real multi-executor cluster (one host, but no shared
+    JVM, no shared Python pool, netty shuffle between processes). The
+    engine code is shipped to executors via spark.submit.pyFiles, the
+    spark-submit --py-files mechanism the north rule names."""
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "2"))
     fix_dir = tier_dir_for_sf("scaling")
     pages_path = os.path.join(fix_dir, "pages.parquet")
@@ -86,21 +123,46 @@ def scale_run(cores: int) -> None:
     # into a handful of splits and caps the parse stage's parallelism
     # below the core count (observed: 9 splits regardless of cores).
     split_bytes = max(_dir_bytes(pages_path) * mult // (4 * cores), 1024 * 1024)
+    extra_conf = {
+        "spark.sql.files.maxPartitionBytes": str(split_bytes),
+        "spark.sql.files.openCostInBytes": str(64 * 1024),
+        # bench-scale knob: default 64 MiB advisory size lets AQE
+        # coalesce the assembly+write stage to 1-2 tasks here (it
+        # is the right default when reducers see GBs)
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
+        # bench corpus has no multi-MB payloads; larger batches cut
+        # JVM<->Python round-trips (A/B: 15.7s vs 17.1s at 32 cores)
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    }
+    if cluster:
+        import pyspark
+
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+        repo = os.path.dirname(os.path.abspath(__file__))
+        n_exec = max(cores // CLUSTER_EXEC_CORES, 1)
+        master = f"local-cluster[{n_exec},{CLUSTER_EXEC_CORES},{CLUSTER_EXEC_MEM_MB}]"
+        extra_conf.update(
+            {
+                "spark.executor.memory": f"{CLUSTER_EXEC_MEM_MB}m",
+                "spark.submit.pyFiles": _package_zip(),
+                # pyFiles covers the package import on executor Python
+                # workers; PYTHONPATH is the belt to its suspenders
+                "spark.executorEnv.PYTHONPATH": repo,
+                # all executors share one host: locality preference is
+                # meaningless and the 3 s default wait stalls shuffle
+                # reads behind busy executors (A/B'd; override via env)
+                "spark.locality.wait": os.environ.get(
+                    "SPARK_GRAFT_LOCALITY_WAIT", "0"
+                ),
+            }
+        )
+    else:
+        master = f"local[{cores}]"
     spark = build_session(
-        app_name=f"bench-scale-{cores}",
-        master=f"local[{cores}]",
+        app_name=f"bench-scale-{cores}" + ("-cluster" if cluster else ""),
+        master=master,
         shuffle_partitions=max(2 * cores, 16),
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(split_bytes),
-            "spark.sql.files.openCostInBytes": str(64 * 1024),
-            # bench-scale knob: default 64 MiB advisory size lets AQE
-            # coalesce the assembly+write stage to 1-2 tasks here (it
-            # is the right default when reducers see GBs)
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
-            # bench corpus has no multi-MB payloads; larger batches cut
-            # JVM<->Python round-trips (A/B: 15.7s vs 17.1s at 32 cores)
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
-        },
+        extra_conf=extra_conf,
     )
     spark.sparkContext.setLogLevel("ERROR")
     out = tempfile.mkdtemp(prefix=f"bench_scale_{cores}_")
@@ -119,18 +181,37 @@ def scale_run(cores: int) -> None:
                     pages.withColumn("url", F.concat(F.lit(f"m{i}-"), F.col("url")))
                 )
             pages = big
+        # phase knob for decomposition measurements (BENCH.md):
+        #   full  — pipeline + parquet sink (default, the headline)
+        #   noop  — pipeline, no write tail
+        #   parse — parse+linearize only, no assembly shuffle, no write
+        phase = os.environ.get("SPARK_GRAFT_SCALE_PHASE", "full")
         warm = os.path.join(out, "_warm")
         warm_slice = pages.limit(64 * cores).repartition(2 * cores)
         extract_documents(warm_slice, PIPE_CONFIG).write.mode("overwrite").parquet(warm)
         run_dir = os.path.join(out, "run")
+        if phase == "parse":
+            from typhoon_ocr_spark.operators.extract import extract_pages
+
+            job = extract_pages(pages, PIPE_CONFIG)
+        else:
+            job = extract_documents(pages, PIPE_CONFIG)
         t0 = time.time()
-        extract_documents(pages, PIPE_CONFIG).write.mode("overwrite").parquet(run_dir)
+        if phase == "full":
+            job.write.mode("overwrite").parquet(run_dir)
+        else:
+            job.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
-        n_docs = spark.read.parquet(run_dir).count()
+        if phase == "full":
+            n_docs = spark.read.parquet(run_dir).count()
+        else:
+            n_docs = 240000 * mult  # fixed corpus size; rate basis only
     finally:
         shutil.rmtree(out, ignore_errors=True)
     print(json.dumps({"cores": cores, "sec": round(wall, 2), "docs": n_docs,
-                      "docs_per_sec": round(n_docs / wall, 1)}))
+                      "docs_per_sec": round(n_docs / wall, 1),
+                      "mode": "cluster" if cluster else "shared-jvm",
+                      "phase": phase}))
 
 
 def host_ceiling_probe() -> dict:
@@ -159,8 +240,14 @@ def host_ceiling_probe() -> dict:
     return {}
 
 
-def scaling_probe(rounds: int | None = None) -> dict:
-    """local[8] vs local[32] on identical input → scaling efficiency.
+def scaling_probe(rounds: int | None = None, cluster: bool = True) -> dict:
+    """8 vs 32 cores on identical input → scaling efficiency.
+
+    Default mode runs each config under local-cluster (2 vs 8 executor
+    JVMs, 4 cores each — the north rule's N vs 4N executors with
+    per-executor isolation: own JVM, own Python worker pool, netty
+    shuffle between processes). ``cluster=False`` reproduces the
+    round-2 shared-JVM local[N] probe.
 
     The sandbox host throttles guest CPU unpredictably (observed 3x
     wall-time swings on identical runs, with guest-visible CPU at 6%
@@ -172,9 +259,12 @@ def scaling_probe(rounds: int | None = None) -> dict:
     samples = {8: [], 32: []}
     for _ in range(rounds):
         for cores in (8, 32):
+            argv = [sys.executable, os.path.abspath(__file__), "--scale-run", str(cores)]
+            if cluster:
+                argv.append("--cluster")
             try:
                 proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--scale-run", str(cores)],
+                    argv,
                     capture_output=True, text=True, timeout=480,
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                 )
@@ -189,6 +279,7 @@ def scaling_probe(rounds: int | None = None) -> dict:
     best32 = max(samples[32], key=lambda r: r["docs_per_sec"])
     efficiency = round(best32["docs_per_sec"] / best8["docs_per_sec"] / 4.0, 3)
     out = {
+        "mode": "local-cluster[2|8,4]" if cluster else "local[8|32]",
         "local8_docs_per_sec": best8["docs_per_sec"],
         "local32_docs_per_sec": best32["docs_per_sec"],
         "local8_sec": best8["sec"],
@@ -210,7 +301,10 @@ def scaling_probe(rounds: int | None = None) -> dict:
 
 def main() -> None:
     if "--scale-run" in sys.argv:
-        scale_run(int(sys.argv[sys.argv.index("--scale-run") + 1]))
+        scale_run(
+            int(sys.argv[sys.argv.index("--scale-run") + 1]),
+            cluster="--cluster" in sys.argv,
+        )
         return
 
     fix_dir = tier_dir_for_sf(SF_DIR)
@@ -252,7 +346,30 @@ def main() -> None:
     timed("pricing_rollup", lambda: relational.pricing_rollup(lineitem).collect())
     timed("events_hourly", lambda: relational.events_hourly(events).count())
 
-    scaling = {} if "--no-scaling" in sys.argv else scaling_probe()
+    # ANN recall on planted near-neighbor cohorts (accuracy metric, not
+    # a timing — recall against near-random vectors is meaningless, see
+    # sources/fixtures.planted_embeddings)
+    from typhoon_ocr_spark.sources.fixtures import planted_embeddings
+
+    planted = spark.createDataFrame(
+        planted_embeddings(2000, dims=64, cohort_size=8, noise=0.15),
+        "vec_id long, embedding array<float>",
+    )
+    exact_nn = {(r[0], r[2]) for r in similarity.cosine_topk(planted).collect()}
+    recall = {}
+    for rname, rdf in {
+        "lsh_multiprobe": similarity.lsh_bucketed_topk(planted, n_dims=64),
+        "lsh_single_probe": similarity.lsh_bucketed_topk(planted, n_dims=64, multiprobe=0),
+        "ivf": similarity.ivf_probed_topk(planted),
+    }.items():
+        got = {(r[0], r[2]) for r in rdf.collect()}
+        recall[rname] = round(len(got & exact_nn) / len(exact_nn), 3)
+
+    scaling = (
+        {}
+        if "--no-scaling" in sys.argv
+        else scaling_probe(cluster="--shared-jvm" not in sys.argv)
+    )
 
     total = round(sum(timings.values()), 2)
     print(json.dumps({
@@ -264,6 +381,7 @@ def main() -> None:
         "docs": n_docs,
         "docs_per_sec": docs_per_sec,
         "cores": CPUS,
+        "ann_recall_planted": recall,
         "scaling": scaling,
     }))
 

@@ -43,6 +43,32 @@ def test_lsh_bucketed_topk_recall(spark):
     # near-random synthetic vectors; real near-dup corpora sit >>0.9
 
 
+def test_lsh_topk_recall_on_planted_cohorts(spark):
+    """ANN recall measured against PLANTED structure (round-2 verdict:
+    near-random vectors make 'true top-k' arbitrary and scored the
+    operator at 0.48). On cohorts of genuine near-duplicates the
+    multi-probe bucketed search must recover >=0.8 of the exact top-k,
+    and multi-probe must not lose candidates vs single-probe."""
+    from typhoon_ocr_spark.sources.fixtures import planted_embeddings
+
+    rows = planted_embeddings(800, dims=64, cohort_size=8, noise=0.15)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r[0], r[2]) for r in similarity.cosine_topk(emb).collect()}
+    multi = {
+        (r[0], r[2])
+        for r in similarity.lsh_bucketed_topk(emb, n_dims=64, multiprobe=1).collect()
+    }
+    single = {
+        (r[0], r[2])
+        for r in similarity.lsh_bucketed_topk(emb, n_dims=64, multiprobe=0).collect()
+    }
+    assert exact
+    recall_multi = len(multi & exact) / len(exact)
+    recall_single = len(single & exact) / len(exact)
+    assert recall_multi >= 0.8
+    assert recall_multi >= recall_single
+
+
 def test_ivf_probed_topk_recall(spark):
     emb = _emb(spark)
     exact = {(r[0], r[2]) for r in similarity.cosine_topk(emb).collect()}

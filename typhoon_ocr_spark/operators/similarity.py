@@ -38,6 +38,12 @@ from .dedup import _bucket_pairs
 # Multi-table LSH configuration (shared with the DuckDB oracle twins).
 ANN_LSH_TABLES = 8
 ANN_LSH_PLANES_PER_TABLE = 4
+# multi-probe: per table, queries also probe the bucket with their
+# lowest-|projection| bit flipped — the cheapest neighbor cell, since a
+# small margin means the hyperplane nearly grazed the query. Lifts
+# recall at FIXED table count (candidate set ~2x, table count and
+# bucket granularity unchanged). 0 or 1; the DuckDB twin mirrors it.
+ANN_MULTIPROBE = 1
 EMB_MAX_BUCKET = 4096  # cap never binds at fixture scale; guards 10^12
 EMB_DIMS = 64  # the testdata embeddings width — callers that know their
 # corpus (the driver contract, the oracle twins) pass it to skip the
@@ -162,6 +168,71 @@ def lsh_table_buckets(
     ).select("vec_id", "tb.t", "tb.bucket")
 
 
+def lsh_query_probes(
+    embeddings: DataFrame,
+    query_every: int = ANN_QUERY_EVERY,
+    n_tables: int = ANN_LSH_TABLES,
+    planes_per_table: int = ANN_LSH_PLANES_PER_TABLE,
+    n_dims: int | None = None,
+    multiprobe: int = ANN_MULTIPROBE,
+) -> DataFrame:
+    """Query-side LSH routing rows INCLUDING multi-probe cells: per
+    table, the query's own bucket plus (multiprobe=1) the bucket with
+    its lowest-|projection| bit flipped. Tie on |projection| breaks to
+    the lowest plane index — the DuckDB twin implements the identical
+    argmin, so candidate sets match bit-for-bit.
+    Output: (query_id, t, bucket)."""
+    assert multiprobe in (0, 1), "oracle twin mirrors 0/1 only"
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = embeddings.filter(F.col("vec_id") % query_every == 0).select(
+        F.col("vec_id").alias("query_id"), e.alias("e")
+    )
+    if n_dims is None:
+        n_dims = _probe_dims(df)
+    if not n_dims:
+        return df.select(
+            "query_id", F.lit(0).cast("int").alias("t"), F.lit("").alias("bucket")
+        ).limit(0)
+    planes = lsh_plane_signs(n_dims, n_tables * planes_per_table)
+
+    rows = []
+    for t in range(n_tables):
+        projs = [
+            _dot(F.col("e"), F.array(*[F.lit(s) for s in planes[t * planes_per_table + j]]))
+            for j in range(planes_per_table)
+        ]
+        bits = [
+            F.when(p >= 0, F.lit("1")).otherwise(F.lit("0")) for p in projs
+        ]
+        rows.append(
+            F.struct(F.lit(t).cast("int").alias("t"), F.concat(*bits).alias("bucket"))
+        )
+        if multiprobe:
+            absv = [F.abs(p) for p in projs]
+
+            def argmin_cond(j: int):
+                cond = F.lit(True)
+                for i in range(planes_per_table):
+                    if i < j:
+                        cond = cond & (absv[i] > absv[j])
+                    elif i > j:
+                        cond = cond & (absv[i] >= absv[j])
+                return cond
+
+            def flipped(j: int):
+                out = list(bits)
+                out[j] = F.when(projs[j] >= 0, F.lit("0")).otherwise(F.lit("1"))
+                return F.concat(*out)
+
+            flip = F.when(argmin_cond(0), flipped(0))
+            for j in range(1, planes_per_table):
+                flip = flip.when(argmin_cond(j), flipped(j))
+            rows.append(F.struct(F.lit(t).cast("int").alias("t"), flip.alias("bucket")))
+    return df.select(
+        "query_id", F.explode(F.array(*rows)).alias("tb")
+    ).select("query_id", "tb.t", "tb.bucket")
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = NEAR_DUP_COSINE,
@@ -196,20 +267,23 @@ def lsh_bucketed_topk(
     k: int = ANN_TOP_K,
     max_bucket: int = EMB_MAX_BUCKET,
     n_dims: int | None = None,
+    multiprobe: int = ANN_MULTIPROBE,
 ) -> DataFrame:
     """ANN search WITHIN the LSH routing tables (the operator the
     round-1 bucket columns existed to serve): candidates for a query
-    are vectors sharing any (table, bucket) cell; exact cosine ranks
-    them; top-k per query. May return <k rows for a query when its
-    cells hold fewer candidates — that's the accuracy/cost dial.
+    are vectors sharing any (table, bucket) cell — including each
+    table's multi-probe cell (lowest-|margin| bit flipped; see
+    ``lsh_query_probes``); exact cosine ranks them; top-k per query.
+    May return <k rows for a query when its cells hold fewer
+    candidates — that's the accuracy/cost dial.
     Degenerate cells larger than ``max_bucket`` are dropped from the
     candidate side before the join fan-out (window count, same
     OOM-guard as the pair generators); the DuckDB twin mirrors the
     cap. Output: (query_id, rank, neighbor_id); recall vs the exact
     ``cosine_topk`` is reported in BENCH.md."""
     buckets = lsh_table_buckets(embeddings, n_dims=n_dims)
-    qb = buckets.filter(F.col("vec_id") % query_every == 0).select(
-        F.col("vec_id").alias("query_id"), "t", "bucket"
+    qb = lsh_query_probes(
+        embeddings, query_every=query_every, n_dims=n_dims, multiprobe=multiprobe
     )
     w = Window.partitionBy("t", "bucket")
     capped = buckets.withColumn("_csz", F.count(F.lit(1)).over(w)).filter(

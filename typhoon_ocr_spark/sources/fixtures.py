@@ -441,6 +441,38 @@ def base64_cases() -> Dict[str, list]:
     }
 
 
+def planted_embeddings(
+    n_vecs: int, dims: int = 64, cohort_size: int = 8, noise: float = 0.15
+) -> List[tuple]:
+    """Deterministic embedding corpus with PLANTED near-neighbor
+    cohorts: vector i = base[i // cohort_size] + noise*jitter, so every
+    vector's true nearest neighbors are its cohort-mates (cosine ~0.99
+    within a cohort vs ~0 across). The round-2 recall numbers were
+    measured on near-random vectors where "true top-k" is itself
+    arbitrary; ANN recall is only meaningful against planted structure.
+    All values are md5-derived — no RNG state, stable across runs.
+    Returns [(vec_id, [float32...])]."""
+    import hashlib
+
+    def h(key: str) -> float:  # uniform-ish in [-1, 1)
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 0x80000000 - 1.0
+
+    bases = {
+        c: [h(f"pc|{c}|{d}") for d in range(dims)]
+        for c in range((n_vecs + cohort_size - 1) // cohort_size)
+    }
+    return [
+        (
+            i,
+            [
+                float(bases[i // cohort_size][d] + noise * h(f"pv|{i}|{d}"))
+                for d in range(dims)
+            ],
+        )
+        for i in range(n_vecs)
+    ]
+
+
 def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
     cfg = TIERS[tier]
     out_dir = os.path.join(out_root, f"pages_{tier}")
