@@ -52,11 +52,20 @@ def retrying_series_map(
     retryable: Tuple[Type[BaseException], ...] = (Exception,),
     sleep: Callable[[float], None] = time.sleep,
     error_value=None,
+    max_in_flight: int = 1,
 ) -> pd.Series:
     """Per-element map for pandas UDFs over an external call: each
     element gets its own bounded retry; an element that exhausts its
     attempts yields ``error_value`` (error-as-row, never a task
-    failure — ocr_service.py:254-262) instead of poisoning the batch."""
+    failure — ocr_service.py:254-262) instead of poisoning the batch.
+
+    ``max_in_flight > 1`` overlaps the batch's calls on a thread pool
+    of that size — the engine analog of the reference's per-document
+    ``asyncio.Semaphore(5)`` page fan-out (ocr_service.py:297): an
+    external endpoint is latency-bound, so sequential per-row calls
+    would idle the executor slot, while an unbounded fan-out would
+    stampede the endpoint. The bound is per Python worker; cluster-wide
+    pressure = workers × max_in_flight, sized via executor cores."""
 
     def one(value):
         try:
@@ -66,4 +75,11 @@ def retrying_series_map(
         except retryable:
             return error_value
 
+    if max_in_flight > 1 and len(series) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+            return pd.Series(
+                list(pool.map(one, series)), index=series.index, dtype=object
+            )
     return series.map(one)

@@ -423,15 +423,20 @@ def is_base64_udf(value: pd.Series) -> pd.Series:
     return value.map(lambda s: is_base64_string(s) if s is not None else False)
 
 
-def make_external_call_udf(fn, attempts: int = 5, error_value=None, sleep=None):
+def make_external_call_udf(
+    fn, attempts: int = 5, error_value=None, sleep=None, max_in_flight: int = 5
+):
     """Wrap an external per-row call (model endpoint, object store) as
     a Pandas UDF with per-element bounded retry — the engine-side
     rendering of the reference's API retry loop
     (/root/reference/backend/services/ocr_service.py:126-138). Elements
     that exhaust their attempts yield ``error_value`` (error-as-row,
-    never a task failure). The model call itself stays external by
-    design (SURVEY.md §2 #19); this is the harness a deployment plugs
-    its client into."""
+    never a task failure). ``max_in_flight`` overlaps a batch's calls
+    on a bounded thread pool per Python worker — the reference's
+    ``asyncio.Semaphore(5)`` fan-out (ocr_service.py:297); an endpoint
+    is latency-bound, so sequential rows would idle the executor slot.
+    The model call itself stays external by design (SURVEY.md §2 #19);
+    this is the harness a deployment plugs its client into."""
     import time as _time
 
     from .retry import retrying_series_map
@@ -441,7 +446,12 @@ def make_external_call_udf(fn, attempts: int = 5, error_value=None, sleep=None):
     @pandas_udf(StringType())
     def call_udf(col: pd.Series) -> pd.Series:
         return retrying_series_map(
-            col, fn, attempts=attempts, sleep=_sleep, error_value=error_value
+            col,
+            fn,
+            attempts=attempts,
+            sleep=_sleep,
+            error_value=error_value,
+            max_in_flight=max_in_flight,
         )
 
     return call_udf
