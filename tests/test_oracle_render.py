@@ -26,16 +26,49 @@ def test_bitmap_dims_follow_target_and_aspect():
     assert len(px) == 200 * 100
 
 
-def test_text_box_lands_where_the_run_is():
+def test_text_glyphs_land_where_the_run_is():
     report = _page()
     w, h, px = render_page_bitmap(report, target_longest=400)  # scale 1.0
     # text at (100,100) in a 400x200 page, glyph cell 5 chars * 6pt x 12pt
     # → raster rows h-112..h-100, cols 100..130
-    def at(x, y):
-        return px[y * w + x]
-    assert at(105, h - 105) == TEXT_FILL
-    assert at(50, 50) == 0xFF  # background white
-    assert at(350, h - 105) == 0xFF
+    def box(x0, x1, y0, y1):
+        return {px[y * w + x] for y in range(y0, y1) for x in range(x0, x1)}
+
+    run = box(100, 130, h - 112, h - 100)
+    assert TEXT_FILL in run  # glyph dots inside the run's cell box
+    assert 0xFF in run       # ...which is no longer a solid box
+    assert box(40, 60, 40, 60) == {0xFF}           # background white
+    assert box(340, 360, h - 112, h - 100) == {0xFF}  # beyond the run
+
+
+def test_different_text_different_pixels():
+    """The round-2 glyphless renderer drew equal-length runs as
+    identical boxes; with the builtin font, two pages differing ONLY in
+    their characters must produce different pixels."""
+    a = MiniPdfWriter().add_page((0, 0, 400, 200)).text(100, 100, "HELLO")
+    b = MiniPdfWriter().add_page((0, 0, 400, 200)).text(100, 100, "WORLD")
+    ra = parse_pdf(a.build())[0]
+    rb = parse_pdf(b.build())[0]
+    _, _, pa = render_page_bitmap(ra, target_longest=400)
+    _, _, pb = render_page_bitmap(rb, target_longest=400)
+    assert pa != pb
+    # and the render is still deterministic per input
+    assert pa == render_page_bitmap(parse_pdf(a.build())[0], target_longest=400)[2]
+
+
+def test_non_ascii_chars_render_distinct_nonblank_glyphs():
+    """Thai (and any non-ASCII) codepoints fall back to md5-derived
+    patterns: never blank, distinct per character."""
+    from typhoon_ocr_spark.oracle.font import glyph_rows
+
+    ka, kha = glyph_rows("ก"), glyph_rows("ข")
+    assert any("1" in r for r in ka) and any("1" in r for r in kha)
+    assert ka != kha
+    a = MiniPdfWriter().add_page((0, 0, 400, 200)).text(100, 100, "กกก")
+    b = MiniPdfWriter().add_page((0, 0, 400, 200)).text(100, 100, "ขขข")
+    _, _, pa = render_page_bitmap(parse_pdf(a.build())[0], target_longest=400)
+    _, _, pb = render_page_bitmap(parse_pdf(b.build())[0], target_longest=400)
+    assert pa != pb
 
 
 def test_image_box_fill_distinct_from_text():

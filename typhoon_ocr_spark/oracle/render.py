@@ -2,14 +2,15 @@
 
 The reference renders pages to base64 PNG for the LLM via pdftoppm/
 pypdfium (`render_pdf_to_base64png`, ocr_utils.py:119-146) using the
-resolution formula ``target_longest * 72 / longest_dim``. No font
-rasterizer exists in this sandbox, so this renders the page's LAYOUT:
-text runs as dark boxes (estimated 12x6pt glyph cells), image
-placements as gray boxes, white background — a real, decodable PNG of
-the page's spatial structure (the quantity the anchor path consumes),
-not glyph-accurate typography. Swap in pypdfium for pixel-true output;
-every byte after the bitmap (PNG encode, base64, prompt assembly) is
-production-real.
+resolution formula ``target_longest * 72 / longest_dim``. No system
+font stack exists in this sandbox, so text runs rasterize through the
+engine's builtin deterministic 3x5 bitmap micro-font (oracle/font.py):
+each character draws its own glyph in a 6x12pt cell, so two pages that
+differ only in text differ in pixels (the round-2 renderer drew runs
+as solid boxes — equal-length runs were indistinguishable). Image
+placements render as gray boxes; background is white. Swap in pypdfium
+for typographically-true output; every byte after the bitmap (PNG
+encode, base64, prompt assembly) is production-real.
 
 Deterministic: integer box math, fixed fill values, filter-None PNG.
 """
@@ -20,6 +21,7 @@ import base64
 from typing import Tuple
 
 from .elements import PageReport
+from .font import GLYPH_COLS, GLYPH_ROWS, glyph_rows
 from .images import encode_png_gray
 from .pdfmini import parse_pdf
 
@@ -61,11 +63,31 @@ def render_page_bitmap(
     for img in report.image_elements:
         b = img.bbox
         fill(b.x0, b.y0, b.x1, b.y1, IMAGE_FILL)
+
+    # glyph rasterization: each char's 3x5 bitmap stretches over its
+    # 6x12pt cell; rows are y-up (font row 0 = TOP of the cell)
+    cell_w = GLYPH_W_PT / GLYPH_COLS
+    cell_h = GLYPH_H_PT / GLYPH_ROWS
     for el in report.text_elements:
-        n = len(el.text.strip())
-        if not n:
+        if not el.text.strip():
             continue
-        fill(el.x, el.y, el.x + n * GLYPH_W_PT, el.y + GLYPH_H_PT, TEXT_FILL)
+        for k, ch in enumerate(el.text):
+            rows = glyph_rows(ch)
+            gx = el.x + k * GLYPH_W_PT
+            for r in range(GLYPH_ROWS):
+                bits = rows[r]
+                if "1" not in bits:
+                    continue
+                y0 = el.y + (GLYPH_ROWS - 1 - r) * cell_h
+                for c in range(GLYPH_COLS):
+                    if bits[c] == "1":
+                        fill(
+                            gx + c * cell_w,
+                            y0,
+                            gx + (c + 1) * cell_w,
+                            y0 + cell_h,
+                            TEXT_FILL,
+                        )
     return width, height, bytes(canvas)
 
 

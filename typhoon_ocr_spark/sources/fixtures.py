@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7  # v7: glyph-true page renders (oracle/font.py) — payloads unchanged since v6
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
