@@ -154,6 +154,14 @@ def scale_run(cores: int, cluster: bool = False) -> None:
                 "spark.locality.wait": os.environ.get(
                     "SPARK_GRAFT_LOCALITY_WAIT", "0"
                 ),
+                # each executor JVM otherwise sizes GC/netty/compiler
+                # thread pools for ALL host cores — k JVMs × 32-core
+                # pools oversubscribes the box; tell each JVM its real
+                # share (override via env for A/B)
+                "spark.executor.extraJavaOptions": os.environ.get(
+                    "SPARK_GRAFT_EXEC_JAVA_OPTS",
+                    f"-XX:ActiveProcessorCount={CLUSTER_EXEC_CORES}",
+                ),
             }
         )
     else:

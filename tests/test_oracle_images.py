@@ -100,13 +100,69 @@ def test_png_real_decode_round_trip():
     assert 0 <= spread_pm <= 1000
 
 
-def test_decode_media_png_real_others_loud():
+def test_decode_media_codecs_real_webp_loud():
     from typhoon_ocr_spark.operators.multimodal import decode_media
 
     w, h, ch, px = decode_media(write_png(9, 4, seed=1), "png")
     assert (w, h, ch) == (9, 4, 1) and len(px) == 36
+    w, h, ch, px = decode_media(write_gif(9, 4, seed=1), "gif")
+    assert (w, h, ch) == (9, 4, 3) and len(px) == 108
+    w, h, ch, px = decode_media(write_jpeg(9, 4, seed=1), "jpeg")
+    assert (w, h, ch) == (9, 4, 1) and len(px) == 36
     with pytest.raises(NotImplementedError):
-        decode_media(write_jpeg(5, 5), "jpeg")
+        decode_media(write_webp(5, 5), "webp")
+
+
+def test_gif_lzw_round_trip_pixel_exact():
+    """Real LZW: every decoded palette value equals the encoder's
+    deterministic pattern."""
+    from typhoon_ocr_spark.oracle.images import decode_gif
+
+    w, h, ch, px = decode_gif(write_gif(101, 43, seed=3))
+    assert (w, h, ch) == (101, 43, 3)
+    assert all(
+        px[3 * (y * 101 + x)] == (x * 31 + y * 17 + 3) & 0xFF
+        for y in range(43)
+        for x in range(101)
+    )
+    # gray palette: all three channels equal
+    assert all(px[3 * i] == px[3 * i + 1] == px[3 * i + 2] for i in range(101 * 43))
+
+
+def test_jpeg_baseline_round_trip_block_means():
+    """Real baseline JPEG: the DC-only fixture stream decodes to flat
+    8x8 blocks carrying each block's quantized mean."""
+    from typhoon_ocr_spark.oracle.images import _JPEG_Q, decode_jpeg
+
+    w, h, ch, px = decode_jpeg(write_jpeg(60, 41, seed=5))
+    assert (w, h, ch) == (60, 41, 1)
+
+    def block_val(bx, by):
+        total = sum(
+            (min(bx * 8 + xx, 59) * 31 + min(by * 8 + yy, 40) * 17 + 5) & 0xFF
+            for yy in range(8)
+            for xx in range(8)
+        )
+        dc = round((total - 128 * 64) / 8 / _JPEG_Q)
+        return max(0, min(255, int(round(dc * _JPEG_Q * 0.125 + 128))))
+
+    assert all(
+        px[y * 60 + x] == block_val(x // 8, y // 8)
+        for y in range(41)
+        for x in range(60)
+    )
+
+
+def test_truncated_bodies_decode_error_not_crash():
+    from typhoon_ocr_spark.oracle.images import image_stats_row
+
+    gif = write_gif(40, 40, seed=1)
+    jpg = write_jpeg(40, 40, seed=1)
+    assert image_stats_row(gif[:60] + b"\x00\x3b")[-1] == "decode-error"
+    # intact header, entropy data cut mid-scan → decode-error row
+    assert image_stats_row(jpg[:-10])[-1] == "decode-error"
+    # header itself unparseable → not an image row at all
+    assert image_stats_row(jpg[: len(jpg) // 4]) is None
 
 
 def test_image_pixel_stats_operator(spark):
@@ -115,15 +171,21 @@ def test_image_pixel_stats_operator(spark):
     rows = [
         ("u-png", bytearray(write_png(20, 10, seed=2))),
         ("u-gif", bytearray(write_gif(64, 32))),
+        ("u-jpg", bytearray(write_jpeg(24, 16))),
+        ("u-webp", bytearray(write_webp(30, 20))),
         ("u-html", bytearray(b"<html><body>x</body></html>")),
     ]
     df = spark.createDataFrame(rows, "url string, html binary")
     got = {r["url"]: r.asDict() for r in image_pixel_stats(df).collect()}
-    assert set(got) == {"u-png", "u-gif"}
+    assert set(got) == {"u-png", "u-gif", "u-jpg", "u-webp"}
     assert got["u-png"]["decoded"] == "real"
     assert got["u-png"]["n_samples"] == 200
-    assert got["u-gif"]["decoded"] == "header-only"
-    assert got["u-gif"]["width"] == 64 and got["u-gif"]["n_samples"] is None
+    assert got["u-gif"]["decoded"] == "real"
+    assert got["u-gif"]["n_samples"] == 64 * 32 * 3
+    assert got["u-jpg"]["decoded"] == "real"
+    assert got["u-jpg"]["n_samples"] == 24 * 16
+    assert got["u-webp"]["decoded"] == "header-only"
+    assert got["u-webp"]["width"] == 30 and got["u-webp"]["n_samples"] is None
 
 
 def test_palette_png_is_decode_error_row_not_task_failure(spark):

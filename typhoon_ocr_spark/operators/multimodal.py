@@ -1,13 +1,14 @@
 """Multimodal column operators: image/audio/video as opaque BINARY +
 typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is a
-clearly-marked deterministic fake (hash-derived "pixel statistics") or
-NotImplementedError — but the Spark-side plumbing is real and tested:
-schemas, mapInPandas batch shape, Arrow-safe binary handling, and the
-native dimension/frame arithmetic (which follows the reference's resize
-rule, /root/reference/packages/typhoon_ocr/typhoon_ocr/
-ocr_utils.py:467-494, and render-resolution formula, ocr_utils.py:138).
+Image DECODE is real for PNG/GIF/baseline-JPEG (pure-stdlib codecs in
+oracle/images.py); WebP and the audio/video FEATURE step remain
+clearly-marked stubs (a VP8/audio codec is out of scope in-sandbox) —
+the Spark-side plumbing around both is real and tested: schemas,
+mapInPandas batch shape, Arrow-safe binary handling, and the native
+dimension/frame arithmetic (which follows the reference's resize rule,
+/root/reference/packages/typhoon_ocr/typhoon_ocr/ocr_utils.py:467-494,
+and render-resolution formula, ocr_utils.py:138).
 """
 
 from __future__ import annotations
@@ -101,19 +102,21 @@ def _fake_decode_features(payload: bytes) -> list:
 
 
 def decode_media(payload: bytes, fmt: str):
-    """The real decode hook. PNG decodes for real (stdlib zlib +
-    row unfiltering, oracle/images.decode_png); JPEG/GIF/WebP need
-    entropy codecs absent from this container and stay loud stubs —
-    swap in PIL/ffmpeg here on a real deployment, the Spark plumbing
-    is unchanged."""
-    from ..oracle.images import decode_png, sniff_image_kind
+    """The real decode hook. PNG (stdlib zlib + row unfiltering), GIF
+    (full LZW + palette), and baseline JPEG (Huffman + dequant + IDCT)
+    decode for real — oracle/images. WebP needs a VP8 entropy codec
+    absent from this container and stays a loud stub — swap in
+    PIL/ffmpeg here on a real deployment, the Spark plumbing is
+    unchanged."""
+    from ..oracle.images import _DECODERS, sniff_image_kind
 
     kind = fmt if fmt in ("png", "jpeg", "gif", "webp") else sniff_image_kind(payload)
-    if kind == "png":
-        return decode_png(payload)
+    dec = _DECODERS.get(kind or "")
+    if dec is not None:
+        return dec(payload)
     raise NotImplementedError(
-        f"decoding {kind or 'unknown'} requires PIL/ffmpeg; PNG is the "
-        "in-sandbox real-decode path"
+        f"decoding {kind or 'unknown'} requires PIL/ffmpeg; PNG/GIF/JPEG "
+        "are the in-sandbox real-decode paths"
     )
 
 
@@ -158,11 +161,12 @@ _IMAGE_STATS_COLS = ("img_kind", "width", "height", "n_samples",
 
 
 def image_pixel_stats(pages: DataFrame) -> DataFrame:
-    """REAL decode over the raster rows of a pages corpus: PNG payloads
-    inflate + unfilter to pixels (pure stdlib) and report deterministic
-    pixel statistics; codec-needing formats (JPEG/GIF/WebP) report
-    header dimensions with decoded='header-only'; PNGs whose body won't
-    decode become decoded='decode-error' rows (never task failures).
+    """REAL decode over the raster rows of a pages corpus: PNG, GIF,
+    and baseline JPEG payloads decode to pixels (pure stdlib: zlib
+    inflate+unfilter / LZW+palette / Huffman+IDCT) and report
+    deterministic pixel statistics; WebP reports header dimensions with
+    decoded='header-only'; payloads whose body won't decode become
+    decoded='decode-error' rows (never task failures).
     Row semantics live in oracle/images.image_stats_row — the single
     function the fixture golden also runs. mapInPandas streams Arrow
     batches — bounded memory at any corpus size; only url+payload enter

@@ -5,21 +5,21 @@ The reference accepts image files end-to-end — the route allowlist is
 dispatch converts them via image_to_pdf (ocr_utils.py:562-579), and the
 anchor is the whole-image frame from the image's pixel dimensions
 (get_anchor_text_from_image, ocr_utils.py:502-506). The reference reads
-dimensions through PIL; no codecs exist in-sandbox, so this module
-parses the container headers directly (pure stdlib) — dimensions are
-all the anchor needs, and the payload itself stays an opaque binary
-column (full decode is the multimodal operators' stubbed hook).
+pixels through PIL; no codec libraries exist in-sandbox, so this module
+implements the codecs directly in pure stdlib: header dimension parse
+for all four container formats, and FULL pixel decode for PNG (zlib
+inflate + row unfiltering), GIF (LZW + palette), and baseline JPEG
+(canonical Huffman + dequantize + inverse zigzag + IDCT). WebP pixel
+decode stays out of scope (VP8 is a video codec).
 
-Formats: PNG (IHDR), JPEG (SOFn scan), GIF (logical screen
-descriptor), WebP (VP8 / VP8L / VP8X chunks).
-
-The writers at the bottom build deterministic, structurally-valid
-fixture payloads (real CRCs, real zlib IDAT for PNG) for the corpus
-generator; they are not general encoders.
+The writers at the bottom build deterministic fixture payloads — real
+encoders for PNG/GIF/JPEG (decodable by any compliant reader), a
+header-only shell for WebP.
 """
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from typing import Optional, Tuple
@@ -122,10 +122,14 @@ def _webp_dimensions(data: bytes) -> Tuple[int, int]:
 
 
 # --------------------------------------------------------------------------
-# Real PNG decode (stdlib: zlib inflate + PNG row unfiltering). The
-# other container formats (JPEG/GIF-LZW/WebP-VP8) need entropy codecs
-# that aren't in this sandbox; they stay behind NotImplementedError in
-# the multimodal decode hook.
+# Real decoders, all pure stdlib:
+#   PNG  — zlib inflate + PNG row unfiltering
+#   GIF  — full LZW (variable code width, clear/EOI, 12-bit cap)
+#   JPEG — baseline DCT: segment parse, canonical Huffman, dequantize,
+#          inverse zigzag, IDCT (no chroma subsampling)
+# WebP (VP8/VP8L) stays header-only: its entropy codecs are a full
+# video-codec dependency, behind NotImplementedError in the multimodal
+# decode hook.
 # --------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
@@ -177,14 +181,370 @@ def decode_png(data: bytes) -> Tuple[int, int, int, bytes]:
     return width, height, channels, pixels[:expected]
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at min+1, LSB-first
+    bit packing, CLEAR resets the table, table capped at 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    nbits = len(data) * 8
+    bitpos = 0
+    out = bytearray()
+    table: list = []
+    code_size = min_code_size + 1
+    prev: Optional[bytes] = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while bitpos + code_size <= nbits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == eoi:
+            break
+        if code == clear:
+            reset()
+            continue
+        if prev is None:
+            if code >= clear:
+                raise ImageError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ImageError("LZW code beyond table")
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> Tuple[int, int, int, bytes]:
+    """(width, height, 3, RGB pixels) for the FIRST frame of a GIF —
+    real LZW decompression + palette lookup. Interlaced frames raise
+    (loud, never silent)."""
+    if bytes(data[:6]) not in GIF_MAGICS:
+        raise ImageError("not a GIF")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 7))
+        gct = bytes(data[pos : pos + size])
+        pos += size
+    n = len(data)
+    while pos < n:
+        block = data[pos]
+        if block == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while pos < n and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            iw, ih = struct.unpack("<HH", data[pos + 5 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            lct = None
+            if iflags & 0x80:
+                size = 3 * (2 << (iflags & 7))
+                lct = bytes(data[pos : pos + size])
+                pos += size
+            if iflags & 0x40:
+                raise ImageError("interlaced GIF unsupported")
+            pal = lct or gct
+            if pal is None:
+                raise ImageError("GIF missing color table")
+            pos += 1  # LZW minimum code size
+            min_code = data[pos - 1]
+            if not 2 <= min_code <= 8:
+                raise ImageError(f"bad LZW min code size {min_code}")
+            blocks = bytearray()
+            while pos < n and data[pos] != 0:
+                cnt = data[pos]
+                blocks += data[pos + 1 : pos + 1 + cnt]
+                pos += 1 + cnt
+            indices = _lzw_decode(bytes(blocks), min_code)
+            if len(indices) < iw * ih:
+                raise ImageError("GIF pixel data truncated")
+            max_idx = len(pal) // 3
+            indices = indices[: iw * ih]
+            if max(indices) >= max_idx:
+                raise ImageError("GIF index beyond palette")
+            lut = [pal[3 * i : 3 * i + 3] for i in range(max_idx)]
+            return int(iw), int(ih), 3, b"".join(map(lut.__getitem__, indices))
+        elif block == 0x3B:
+            break
+        else:
+            raise ImageError(f"bad GIF block 0x{block:02x}")
+    raise ImageError("GIF has no image data")
+
+
+# --- baseline JPEG ---------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_table(bits: list, values: list) -> dict:
+    """Canonical JPEG Huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over JPEG entropy data with 0xFF00 unstuffing;
+    stops at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nacc = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # restart marker: byte-align reset
+                self.pos += 2
+                self.acc = 0
+                self.nacc = 0
+                return self._fill()
+            else:
+                return False  # real marker: scan over
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nacc += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nacc == 0 and not self._fill():
+            raise ImageError("JPEG entropy data exhausted")
+        self.nacc -= 1
+        return (self.acc >> self.nacc) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageError("bad JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG coefficient sign-extension (spec F.2.2.1)."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+_IDCT_COS = [
+    [
+        math.cos((2 * x + 1) * u * math.pi / 16)
+        * (1 / (2 * math.sqrt(2)) if u == 0 else 0.5)
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+def _idct_8x8(coef: list) -> list:
+    """Separable 2-D inverse DCT → 64 spatial values (level-shifted
+    domain, caller adds 128). DC-only blocks short-circuit to the flat
+    value (the common case for the fixture encoder's DC-only streams)."""
+    if not any(coef[1:]):
+        flat = coef[0] * 0.125
+        return [flat] * 64
+    tmp = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            row = coef[y * 8 : y * 8 + 8]
+            tmp[y * 8 + x] = sum(row[u] * _IDCT_COS[x][u] for u in range(8))
+    out = [0.0] * 64
+    for y in range(8):
+        cy = _IDCT_COS[y]
+        for x in range(8):
+            out[y * 8 + x] = sum(tmp[v * 8 + x] * cy[v] for v in range(8))
+    return out
+
+
+def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
+    """(width, height, channels, pixels) for BASELINE JPEGs without
+    chroma subsampling (grayscale 1-channel, or 3-channel YCbCr 1x1
+    returned as raw component planes interleaved; the fixture corpus
+    writes grayscale). Real entropy decode: canonical Huffman, diff DC,
+    run-length AC, dequantize, inverse zigzag, IDCT."""
+    data = bytes(data)
+    if not data.startswith(JPEG_MAGIC):
+        raise ImageError("not a JPEG")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    comps: list = []
+    width = height = None
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ImageError("JPEG marker desync")
+        marker = data[pos + 1]
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ImageError("16-bit quant tables unsupported")
+                qt[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                cnt = sum(bits)
+                vals = list(body[b + 17 : b + 17 + cnt])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_table(bits, vals)
+                b += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline)
+            height, width = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ImageError("subsampled JPEG unsupported")
+                comps.append({"id": cid, "tq": tq})
+        elif marker in _JPEG_SOF:
+            raise ImageError(f"non-baseline JPEG (SOF {marker:02x})")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for s in range(ns):
+                cs, tables = body[1 + 2 * s], body[2 + 2 * s]
+                for comp in comps:
+                    if comp["id"] == cs:
+                        comp["dc"] = tables >> 4
+                        comp["ac"] = tables & 0xF
+            return _jpeg_scan(
+                data, pos + 2 + seg_len, width, height, comps, qt, huff_dc, huff_ac
+            )
+        pos += 2 + seg_len
+    raise ImageError("JPEG has no scan")
+
+
+def _jpeg_scan(data, pos, width, height, comps, qt, huff_dc, huff_ac):
+    if width is None or not comps:
+        raise ImageError("JPEG scan before SOF")
+    reader = _BitReader(data, pos)
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    nc = len(comps)
+    planes = [bytearray(bw * 8 * bh * 8) for _ in comps]
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, comp in enumerate(comps):
+                q = qt.get(comp["tq"])
+                dct = huff_dc.get(comp.get("dc", 0))
+                act = huff_ac.get(comp.get("ac", 0))
+                if q is None or dct is None or act is None:
+                    raise ImageError("JPEG missing tables")
+                coef = [0] * 64
+                s = reader.read_symbol(dct)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                pred[ci] += diff
+                coef[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = reader.read_symbol(act)
+                    r, s = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ImageError("JPEG AC run overflow")
+                    coef[_ZIGZAG[k]] = _extend(reader.read_bits(s), s) * q[k]
+                    k += 1
+                spatial = _idct_8x8(coef)
+                plane = planes[ci]
+                for yy in range(8):
+                    row = (by * 8 + yy) * bw * 8 + bx * 8
+                    for xx in range(8):
+                        v = int(round(spatial[yy * 8 + xx] + 128))
+                        plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+    # crop block padding; interleave components (grayscale → 1 plane)
+    out = bytearray(width * height * nc)
+    stride = bw * 8
+    for y in range(height):
+        for ci in range(nc):
+            plane = planes[ci]
+            base = y * width * nc + ci
+            rowbase = y * stride
+            for x in range(width):
+                out[base + x * nc] = plane[rowbase + x]
+    return int(width), int(height), nc, bytes(out)
+
+
+_DECODERS = {"png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
+
+
+def decode_image(payload: bytes) -> Tuple[int, int, int, bytes]:
+    """(width, height, channels, pixels) via the real stdlib decoder
+    for PNG/GIF/JPEG; ImageError for WebP (entropy codec out of scope)
+    and malformed payloads."""
+    kind = sniff_image_kind(payload)
+    dec = _DECODERS.get(kind or "")
+    if dec is None:
+        raise ImageError(f"no decoder for {kind or 'unknown payload'}")
+    return dec(bytes(payload))
+
+
 def image_stats_row(payload: bytes) -> Optional[Tuple]:
     """Shared per-image row for the pixel-stats surface (the Spark UDF
     and the fixture golden MUST run this same function or the
     byte-identical gate drifts): (img_kind, width, height, n_samples,
-    mean_pm, spread_pm, decoded) — decoded is 'real' (PNG pixel stats),
-    'header-only' (codec-needing formats), or 'decode-error' (header
-    parsed but the body doesn't decode). None for non-images /
-    unparseable headers."""
+    mean_pm, spread_pm, decoded) — decoded is 'real' (PNG/GIF/JPEG
+    pixel stats), 'header-only' (WebP: entropy codec out of scope), or
+    'decode-error' (header parsed but the body doesn't decode). None
+    for non-images / unparseable headers."""
     kind = sniff_image_kind(payload)
     if kind is None:
         return None
@@ -192,26 +552,32 @@ def image_stats_row(payload: bytes) -> Optional[Tuple]:
         w, h = image_dimensions(payload)
     except ImageError:
         return None
-    if kind != "png":
+    if kind not in _DECODERS:
         return (kind, w, h, None, None, None, "header-only")
     try:
-        n, mean_pm, spread_pm = png_pixel_stats(payload)
+        n, mean_pm, spread_pm = image_pixel_stat_values(payload)
         return (kind, w, h, n, mean_pm, spread_pm, "real")
     except ImageError:
         return (kind, w, h, None, None, None, "decode-error")
 
 
-def png_pixel_stats(data: bytes) -> Tuple[int, int, int]:
-    """(n_pixels, mean_per_mille, min..max spread_per_mille) —
+def image_pixel_stat_values(data: bytes) -> Tuple[int, int, int]:
+    """(n_samples, mean_per_mille, min..max spread_per_mille) —
     deterministic integer pixel statistics for the decode-verification
     path (per-mille of full scale, round-half-even like both engines'
     round())."""
-    width, height, channels, pixels = decode_png(data)
+    width, height, channels, pixels = decode_image(data)
     n = width * height * channels
     total = sum(pixels)
     mean_pm = round(1000 * total / (n * 255)) if n else 0
     spread_pm = round(1000 * (max(pixels) - min(pixels)) / 255) if n else 0
     return n, mean_pm, spread_pm
+
+
+def png_pixel_stats(data: bytes) -> Tuple[int, int, int]:
+    """Back-compat alias (PNG was the only real decoder before GIF/JPEG
+    landed); decodes any supported format now."""
+    return image_pixel_stat_values(data)
 
 
 # --------------------------------------------------------------------------
@@ -254,27 +620,154 @@ def write_png(width: int, height: int, seed: int = 0) -> bytes:
     return encode_png_gray(width, height, pixels)
 
 
+class _BitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self) -> bytes:
+        if self.nacc:
+            self.acc = (self.acc << (8 - self.nacc)) | ((1 << (8 - self.nacc)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+        return bytes(self.out)
+
+
+_JPEG_Q = 16  # uniform quant step for the fixture encoder
+
+# fixture Huffman tables (carried in DHT — JPEG files define their own
+# tables; nothing requires the Annex K defaults): DC = twelve 4-bit
+# codes for categories 0-11; AC = a single 1-bit EOB code (the encoder
+# quantizes every AC coefficient to zero: a valid DC-only baseline
+# stream, 8x8 block means as real pixels)
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [1] + [0] * 15
+_AC_VALS = [0x00]
+
+
 def write_jpeg(width: int, height: int, seed: int = 0) -> bytes:
-    """JPEG shell: SOI, APP0/JFIF, SOF0 with the dimensions, SOS, a
-    deterministic entropy-ish tail, EOI. Header-parseable everywhere;
-    pixel data is not meant to decode."""
+    """REAL baseline grayscale JPEG: deterministic pixels, FDCT-exact
+    DC coefficients (AC quantized to zero → each 8x8 block carries its
+    mean), canonical Huffman tables declared in DHT, byte stuffing,
+    decodable by any standards-compliant reader (incl. decode_jpeg)."""
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+
+    def pixel(x: int, y: int) -> int:
+        return (x * 31 + y * 17 + seed) & 0xFF
+
+    writer = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            total = 0
+            for yy in range(8):
+                sy = min(by * 8 + yy, height - 1)  # edge-replicate pad
+                for xx in range(8):
+                    total += pixel(min(bx * 8 + xx, width - 1), sy)
+            dc = round((total - 128 * 64) / 8 / _JPEG_Q)  # S00/q
+            diff = dc - pred
+            pred = dc
+            s = abs(diff).bit_length()
+            code, nbits = dc_codes[s]
+            writer.write(code, nbits)
+            if s:
+                writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            writer.write(0, 1)  # EOB ('0', the lone AC code)
+    scan = writer.flush()
+
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([_JPEG_Q] * 64)
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 17 + len(_DC_VALS) + 17 + len(_AC_VALS))
+        + b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
     sof0 = (
         b"\xff\xc0"
         + struct.pack(">H", 11)
         + b"\x08"
         + struct.pack(">HH", height, width)
-        + b"\x01\x11\x00"
+        + b"\x01\x01\x11\x00"
     )
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-    tail = bytes((i * 37 + seed) % 0xFE for i in range(24))  # never 0xFF
-    return b"\xff\xd8" + app0 + sof0 + sos + tail + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
+
+
+def _huff_codes(bits: list, values: list) -> dict:
+    """{symbol: (code, length)} — the encoder-side canonical table."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
 
 
 def write_gif(width: int, height: int, seed: int = 0) -> bytes:
-    """GIF89a with logical screen descriptor + trailer."""
-    screen = struct.pack("<HH", width, height) + bytes([0x00, seed & 0xFF, 0x00])
-    return b"GIF89a" + screen + b"\x3b"
+    """REAL GIF89a: 256-entry grayscale palette, deterministic pixel
+    indices, valid LZW stream (9-bit literal codes with periodic CLEAR
+    so the table never grows — the classic 'uncompressed GIF' encoding
+    every decoder accepts)."""
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    screen = struct.pack("<HH", width, height) + bytes([0xF7, 0x00, 0x00])
+    descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int) -> None:  # 9-bit LSB-first packing
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += 9
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    run = 0
+    for y in range(height):
+        for x in range(width):
+            emit((x * 31 + y * 17 + seed) & 0xFF)
+            run += 1
+            if run == 250:  # keep the decoder's table below 512 entries
+                emit(clear)
+                run = 0
+    emit(eoi)
+    if nacc:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return b"GIF89a" + screen + gct + descriptor + b"\x08" + bytes(blocks) + b"\x3b"
 
 
 def write_webp(width: int, height: int, seed: int = 0) -> bytes:

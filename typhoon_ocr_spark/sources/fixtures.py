@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 7  # v7: glyph-true page renders (oracle/font.py) — payloads unchanged since v6
+CORPUS_VERSION = 8  # v8: real GIF(LZW)+baseline-JPEG payloads and decode (generate_pages changed)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -175,11 +175,13 @@ _IMAGE_WRITERS = [write_png, write_jpeg, write_gif, write_webp]
 
 
 def _image_payload(rng: random.Random, doc_id: int) -> bytes:
-    """Raster payload (PNG/JPEG/GIF/WebP) with deterministic dims."""
+    """Raster payload (PNG/JPEG/GIF/WebP) with deterministic dims.
+    PNG/JPEG/GIF carry REAL pixel data (bounded dims keep encode cost
+    sane); WebP stays header-only (its entropy codec is out of scope)."""
     writer = _IMAGE_WRITERS[rng.randrange(len(_IMAGE_WRITERS))]
     width = rng.randint(16, 2400)
     height = rng.randint(16, 1800)
-    if writer is write_png:  # real scanlines: keep pixel count bounded
+    if writer is not write_webp:  # real pixels: keep the count bounded
         width, height = width % 256 + 8, height % 256 + 8
     return writer(width, height, seed=doc_id)
 
