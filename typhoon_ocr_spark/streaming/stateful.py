@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -107,6 +108,143 @@ def _first_seen(
     state.update((1,))
     if first_url is not None:
         yield pd.DataFrame({"key": [key[0]], "url": [first_url]})
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental NEAR-dup: MinHash band buckets as keyed state.
+# A 100 TB ingest pipeline dedups incrementally — each arriving batch
+# is checked against every band bucket seen so far, not only within
+# itself (the batch operator dedup.minhash_candidate_pairs re-scans the
+# whole corpus; this is its continuous twin).
+# ---------------------------------------------------------------------------
+
+# state bound per (band, band_hash) bucket: newcomers pair against at
+# most this many stored members and only the first CAP members are
+# remembered — a degenerate bucket (one viral document) costs O(CAP)
+# per arrival forever, never O(bucket size)
+STREAM_BUCKET_CAP = 16
+
+
+def minhash_bands_py(text: str) -> list:
+    """Pure-Python twin of dedup.minhash_bands for ONE document: same
+    tokens (lowercase, split on non-alnum), same 3-word shingles, one
+    md5 per shingle sliced into MINHASH_PERMS 4-hex windows,
+    lexicographic minima, band hash = md5 of '|'-joined slice minima.
+    Parity with the batch operator is pinned by
+    tests/test_scale_paths.py::test_minhash_bands_py_parity."""
+    import hashlib
+    import re
+
+    from ..functions.textsql import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        MINHASH_SLICE_HEX,
+        SHINGLE_WORDS,
+        WORD_SPLIT_PATTERN,
+    )
+
+    toks = [t for t in re.split(WORD_SPLIT_PATTERN, (text or "").lower()) if t]
+    if len(toks) < SHINGLE_WORDS:
+        return []
+    hs = [
+        hashlib.md5(
+            " ".join(toks[i : i + SHINGLE_WORDS]).encode("utf-8")
+        ).hexdigest()
+        for i in range(len(toks) - SHINGLE_WORDS + 1)
+    ]
+    sigs = [
+        min(h[p * MINHASH_SLICE_HEX : (p + 1) * MINHASH_SLICE_HEX] for h in hs)
+        for p in range(MINHASH_PERMS)
+    ]
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    return [
+        (
+            b,
+            hashlib.md5(
+                "|".join(sigs[b * rpb : (b + 1) * rpb]).encode("utf-8")
+            ).hexdigest(),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+
+
+NEAR_DUP_OUTPUT = StructType(
+    [
+        StructField("doc_a", StringType()),
+        StructField("doc_b", StringType()),
+        StructField("band", LongType()),
+        StructField("band_hash", StringType()),
+    ]
+)
+
+NEAR_DUP_STATE = StructType([StructField("members", ArrayType(StringType()))])
+
+
+def _bucket_update(
+    key: Tuple, frames: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    members = list(state.get[0]) if state.exists else []
+    arrivals: list = []
+    for pdf in frames:
+        arrivals.extend(str(d) for d in pdf["doc_id"])
+    arrivals.sort()  # deterministic within-batch order
+    out_a: list = []
+    out_b: list = []
+    for doc in arrivals:
+        for m in members:
+            if m == doc:
+                continue
+            a, b = (doc, m) if doc < m else (m, doc)
+            out_a.append(a)
+            out_b.append(b)
+        if len(members) < STREAM_BUCKET_CAP:
+            members.append(doc)
+    state.update((members,))
+    if out_a:
+        yield pd.DataFrame(
+            {
+                "doc_a": out_a,
+                "doc_b": out_b,
+                "band": [int(key[0])] * len(out_a),
+                "band_hash": [str(key[1])] * len(out_a),
+            }
+        )
+
+
+def streaming_near_dups(
+    stream: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Continuous MinHash near-dup candidates: each arriving document's
+    LSH bands (computed in an Arrow-batched pandas UDF — no shuffle of
+    text beyond the band grouping) are checked against the bucket
+    members remembered in keyed GroupState, so a near-duplicate of a
+    document from ANY earlier micro-batch is flagged the moment it
+    arrives. Output: (doc_a, doc_b, band, band_hash) — the same pair
+    may surface from multiple bands; distinct downstream if needed.
+    State per bucket is a bounded member list (STREAM_BUCKET_CAP)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bands_type = ArrayType(
+        StructType(
+            [StructField("band", LongType()), StructField("band_hash", StringType())]
+        )
+    )
+
+    @pandas_udf(bands_type)
+    def bands_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(minhash_bands_py)
+
+    bands = stream.select(
+        F.col(doc_col).cast("string").alias("doc_id"),
+        F.explode(bands_udf(F.col(text_col))).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    return bands.groupBy("band", "band_hash").applyInPandasWithState(
+        _bucket_update,
+        outputStructType=NEAR_DUP_OUTPUT,
+        stateStructType=NEAR_DUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_first_seen(stream: DataFrame, key_col: str = "key") -> DataFrame:
