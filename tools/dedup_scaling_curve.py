@@ -1,0 +1,134 @@
+"""sf0.1 → sf1 scaling curve for the dedup/ANN suite.
+
+The per-round bench runs at one scale, so a quadratic blow-up hiding
+inside an operator (bucket fan-out, candidate explosion) would look
+fine until someone runs 10x the rows. This probe times each operator
+at the sf0.1 tables (documents/embeddings, 5k rows) and at a synthetic
+sf1 (10x rows: replicas with remapped ids and deterministically
+mutated text / perturbed vectors so replicas are NOT exact duplicates
+— identical texts would all land in capped LSH buckets and be dropped,
+understating the real fan-out). A healthy near-linear operator shows a
+ratio around 10-12x; anything beyond ~20x is a scale bug.
+
+Rounds are interleaved (1x, 10x, 1x, 10x ...) and scored best-per-cell
+because the host throttles unpredictably (BENCH.md).
+
+Usage: python tools/dedup_scaling_curve.py [rounds]
+Prints one JSON line: {"op": {"sec_1x": .., "sec_10x": .., "ratio": ..}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from typhoon_ocr_spark.operators import dedup, similarity  # noqa: E402
+from typhoon_ocr_spark.plans.session import build_session  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = 10
+ID_STRIDE = 10_000_000
+
+
+def replicate_documents(docs, mult: int = MULT):
+    """10x documents: remapped ids, per-replica text mutation (replica
+    tag prepended so shingles differ — replicas are near the original
+    in MinHash space without being exact duplicates)."""
+    parts = [docs]
+    for i in range(1, mult):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * ID_STRIDE).alias("doc_id"),
+                F.concat(F.lit(f"r{i} v"), F.col("text")).alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_embeddings(emb, mult: int = MULT):
+    """10x embeddings: remapped ids, per-replica deterministic
+    perturbation (scale by 1 + i/1000) so no two replicas tie."""
+    parts = [emb]
+    for i in range(1, mult):
+        factor = 1.0 + i / 1000.0
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + i * ID_STRIDE).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: (x * factor).cast("float")
+                ).alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    spark = build_session(app_name="dedup-scaling-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb1 = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    docs10 = replicate_documents(docs1)
+    emb10 = replicate_embeddings(emb1)
+
+    dims = similarity.EMB_DIMS
+    ops = {
+        "minhash_pairs": lambda d, e: dedup.minhash_candidate_pairs(d).count(),
+        "simhash_near_dups": lambda d, e: dedup.simhash_near_dups(d).count(),
+        "jaccard_pairs": lambda d, e: dedup.jaccard_pairs(d).count(),
+        "embedding_near_dups": lambda d, e: similarity.embedding_near_dups(
+            e, n_dims=dims
+        ).count(),
+        "ann_lsh_topk": lambda d, e: similarity.lsh_bucketed_topk(
+            e, n_dims=dims
+        ).count(),
+        "ann_ivf_topk": lambda d, e: similarity.ivf_probed_topk(e).count(),
+    }
+
+    best: dict = {name: {"sec_1x": None, "sec_10x": None} for name in ops}
+    counts: dict = {}
+    for _ in range(rounds):
+        for name, fn in ops.items():
+            for label, d, e in (("sec_1x", docs1, emb1), ("sec_10x", docs10, emb10)):
+                t0 = time.time()
+                n = fn(d, e)
+                sec = time.time() - t0
+                counts[f"{name}:{label}"] = n
+                prev = best[name][label]
+                if prev is None or sec < prev:
+                    best[name][label] = sec
+
+    out = {}
+    for name, cell in best.items():
+        ratio = (
+            round(cell["sec_10x"] / cell["sec_1x"], 2)
+            if cell["sec_1x"] and cell["sec_10x"]
+            else None
+        )
+        out[name] = {
+            "sec_1x": round(cell["sec_1x"], 2),
+            "sec_10x": round(cell["sec_10x"], 2),
+            "ratio": ratio,
+            "rows_1x": counts.get(f"{name}:sec_1x"),
+            "rows_10x": counts.get(f"{name}:sec_10x"),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
