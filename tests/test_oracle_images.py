@@ -165,6 +165,29 @@ def test_truncated_bodies_decode_error_not_crash():
     assert image_stats_row(jpg[: len(jpg) // 4]) is None
 
 
+def test_media_features_real_for_decodable_fake_otherwise(spark):
+    """extract_media_features computes REAL pixel statistics for
+    payloads the stdlib codecs decode (marker 1.0 in the last slot,
+    mean in [0,1]); undecodable payloads keep the marked sha fake."""
+    from typhoon_ocr_spark.operators.multimodal import extract_media_features
+
+    rows = [
+        (1, bytearray(write_png(16, 16, seed=7))),
+        (2, bytearray(write_gif(16, 16, seed=7))),
+        (3, bytearray(b"not an image at all, just text bytes")),
+        (4, bytearray(write_webp(16, 16))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: list(r["features"]) for r in
+           extract_media_features(df).collect()}
+    for mid in (1, 2):
+        f = got[mid]
+        assert f[-1] == 1.0  # real-decode marker
+        assert 0.0 <= f[0] <= 1.0 and f[2] == 1.0  # mean, square aspect
+    for mid in (3, 4):  # text + WebP: sha fake, marker absent
+        assert got[mid][-1] != 1.0
+
+
 def test_image_pixel_stats_operator(spark):
     from typhoon_ocr_spark.operators.multimodal import image_pixel_stats
 

@@ -78,7 +78,13 @@ def replicate_embeddings(emb, mult: int = MULT):
 
 def main() -> None:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    spark = build_session(app_name="dedup-scaling-curve")
+    spark = build_session(
+        app_name="dedup-scaling-curve",
+        # at 10x AQE would auto-broadcast vector-carrying intermediates
+        # past the driver's memory; explicit broadcast() hints in the
+        # operators still apply, auto-promotion stays conservative
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(8 * 1024 * 1024)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs1 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -102,11 +108,16 @@ def main() -> None:
 
     best: dict = {name: {"sec_1x": None, "sec_10x": None} for name in ops}
     counts: dict = {}
+    errors: dict = {}
     for _ in range(rounds):
         for name, fn in ops.items():
             for label, d, e in (("sec_1x", docs1, emb1), ("sec_10x", docs10, emb10)):
                 t0 = time.time()
-                n = fn(d, e)
+                try:
+                    n = fn(d, e)
+                except Exception as exc:  # record, keep probing
+                    errors[f"{name}:{label}"] = str(exc).split("\n")[0][:200]
+                    continue
                 sec = time.time() - t0
                 counts[f"{name}:{label}"] = n
                 prev = best[name][label]
@@ -121,12 +132,14 @@ def main() -> None:
             else None
         )
         out[name] = {
-            "sec_1x": round(cell["sec_1x"], 2),
-            "sec_10x": round(cell["sec_10x"], 2),
+            "sec_1x": round(cell["sec_1x"], 2) if cell["sec_1x"] else None,
+            "sec_10x": round(cell["sec_10x"], 2) if cell["sec_10x"] else None,
             "ratio": ratio,
             "rows_1x": counts.get(f"{name}:sec_1x"),
             "rows_10x": counts.get(f"{name}:sec_10x"),
         }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

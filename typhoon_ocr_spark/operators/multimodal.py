@@ -90,15 +90,45 @@ def frame_sample_indices(duration_ms: Column, fps: float = 1.0) -> Column:
 
 
 def _fake_decode_features(payload: bytes) -> list:
-    """DETERMINISTIC FAKE of the decode step (no codecs in-container):
-    derives FEATURE_DIM pseudo-statistics from sha256 of the payload.
-    Swap for a real decoder (PIL/ffmpeg) by replacing this one function;
-    the Spark plumbing around it is unchanged."""
+    """DETERMINISTIC FAKE for payloads with no in-sandbox decoder
+    (audio/video/WebP/plain bytes): FEATURE_DIM pseudo-statistics from
+    sha256 of the payload. Swap for a real decoder (PIL/ffmpeg) by
+    replacing this one function; the Spark plumbing is unchanged."""
     digest = hashlib.sha256(payload).digest()
     return [
         int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
         for i in range(FEATURE_DIM)
     ]
+
+
+def _decode_features(payload: bytes) -> list:
+    """REAL features when the payload decodes (PNG/GIF/baseline JPEG —
+    oracle/images codecs): [mean, spread, aspect, 4 quadrant means,
+    1.0-marker], all in [0, 1]. Undecodable payloads fall back to the
+    clearly-marked sha-derived fake (last element 0-ish, marker absent)."""
+    from ..oracle.images import ImageError, decode_image
+
+    try:
+        w, h, ch, px = decode_image(payload)
+    except (ImageError, NotImplementedError):
+        return _fake_decode_features(payload)
+    n = len(px)
+    if not n or not w or not h:
+        return _fake_decode_features(payload)
+    mean = sum(px) / n / 255.0
+    spread = (max(px) - min(px)) / 255.0
+    aspect = min(w, h) / max(w, h)
+    quads = []
+    for qy in (0, 1):
+        for qx in (0, 1):
+            total = cnt = 0
+            for y in range(qy * (h // 2), h if qy else h // 2):
+                row = y * w * ch
+                for x in range(qx * (w // 2), w if qx else w // 2):
+                    total += px[row + x * ch]
+                    cnt += 1
+            quads.append(total / cnt / 255.0 if cnt else 0.0)
+    return [mean, spread, aspect, *quads, 1.0]
 
 
 def decode_media(payload: bytes, fmt: str):
@@ -126,6 +156,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     Arrow-batch plumbing is production-shaped: batches stream through
     the iterator (bounded memory regardless of table size), only the
     needed columns enter the UDF, output conforms to FEATURE_SCHEMA.
+    Feature values are REAL pixel statistics for payloads the stdlib
+    codecs decode (PNG/GIF/baseline JPEG) and a marked sha-derived fake
+    otherwise (audio/video/WebP need PIL/ffmpeg).
     Output: (media_id, payload_sha, n_bytes, features[8])."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,7 +169,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "payload_sha": [hashlib.sha256(p).hexdigest() for p in payloads],
                     "n_bytes": [len(p) for p in payloads],
-                    "features": [_fake_decode_features(p) for p in payloads],
+                    "features": [_decode_features(p) for p in payloads],
                 }
             )
 
