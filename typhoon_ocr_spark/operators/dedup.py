@@ -326,7 +326,10 @@ def jaccard_pairs(
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = minhash_candidate_pairs(documents, text_col, shingles=sh)
+    # merge hint: the candidate frame's cardinality is unknowable to
+    # the planner (bucket fan-out); a broadcast guess is an unbounded
+    # driver build at scale — sort-merge joins stream instead
+    pairs = minhash_candidate_pairs(documents, text_col, shingles=sh).hint("merge")
     sets_df = sh.select(
         "doc_id", F.array_distinct(F.col("sh")).alias("shset")
     ).filter(F.size("shset") > 0)

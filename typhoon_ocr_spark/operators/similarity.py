@@ -246,9 +246,14 @@ def embedding_near_dups(
     pairs at the threshold is 1-(1-p^planes)^tables where
     p = 1 - angle/pi. Output: (vec_a, vec_b, cos_pct BIGINT)."""
     buckets = lsh_table_buckets(embeddings, n_dims=n_dims)
+    # merge hint: the candidate-pair frame's size is unknowable to the
+    # planner (double-explode fan-out behind a distinct) — a broadcast
+    # guess here is an unbounded driver-memory build at scale (observed
+    # OOM at 50k vectors with correlated buckets); sort-merge never
+    # builds anything in one memory
     pairs = _bucket_pairs(buckets, ["t", "bucket"], "vec_id", max_bucket).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
-    )
+    ).hint("merge")
     base = _with_norm(embeddings)
     a = base.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     b = base.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
@@ -296,6 +301,9 @@ def lsh_bucketed_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
+        # candidate cardinality is planner-opaque: never let it be the
+        # broadcast-build side of the vector join (see embedding_near_dups)
+        .hint("merge")
     )
     base = _with_norm(embeddings)
     queries = base.filter(F.col("vec_id") % query_every == 0).select(
@@ -417,7 +425,7 @@ def ivf_probed_topk(
 
     cand = assign.join(F.broadcast(probes), "centroid_id").filter(
         F.col("vec_id") != F.col("query_id")
-    )
+    ).hint("merge")  # planner-opaque cardinality; see embedding_near_dups
     scored = cand.join(base, "vec_id").withColumn(
         "score", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
     )
