@@ -213,7 +213,9 @@ def scale_run(cores: int, cluster: bool = False) -> None:
         if phase == "full":
             n_docs = spark.read.parquet(run_dir).count()
         else:
-            n_docs = 240000 * mult  # fixed corpus size; rate basis only
+            from typhoon_ocr_spark.sources.fixtures import TIERS
+
+            n_docs = TIERS["scaling"]["docs"] * mult  # rate basis only
     finally:
         shutil.rmtree(out, ignore_errors=True)
     print(json.dumps({"cores": cores, "sec": round(wall, 2), "docs": n_docs,

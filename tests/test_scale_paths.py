@@ -180,6 +180,70 @@ def test_streaming_near_dup_flags_across_batches(spark, tmp_path):
     assert batches_with_pair and min(batches_with_pair) >= 1
 
 
+def test_streaming_near_dup_replay_is_idempotent():
+    """A replayed arrival (at-least-once source) must not duplicate
+    state entries or re-emit its pairs (unit-level: _bucket_update with
+    a stub GroupState)."""
+    import pandas as pd
+
+    from typhoon_ocr_spark.streaming.stateful import _bucket_update
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    state = StubState()
+
+    def run(docs):
+        return list(
+            _bucket_update((0, "h"), [pd.DataFrame({"doc_id": docs})], state)
+        )
+
+    assert run(["d1"]) == []                       # first arrival: stored
+    assert len(run(["d2"])[0]) == 1                # pairs with d1
+    assert run(["d1"]) == []                       # replay: no re-emit
+    assert run(["d1", "d1"]) == []                 # same-batch dup replay
+    assert list(state.get[0]) == ["d1", "d2"]      # no duplicate state
+
+
+def test_streaming_near_dup_numeric_ids_order_numerically(spark, tmp_path):
+    """Long doc_ids keep their type end-to-end: pair order is numeric
+    (9 < 10), matching the batch twin's struct comparison — lexicographic
+    '10' < '9' would break batch/stream reconciliation."""
+    from typhoon_ocr_spark.streaming.stateful import streaming_near_dups
+
+    text = "shared words forming the very same shingle set every time"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(9, text), (10, text)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1")
+
+    rows: list = []
+    q = (
+        streaming_near_dups(
+            spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert rows and all(r["doc_a"] == 9 and r["doc_b"] == 10 for r in rows)
+    assert isinstance(rows[0]["doc_a"], int)
+
+
 def test_streaming_near_dup_state_is_bounded(spark, tmp_path):
     """A viral-duplicate flood larger than STREAM_BUCKET_CAP keeps each
     bucket's state at the cap: late arrivals still pair against the

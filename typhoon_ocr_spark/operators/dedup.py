@@ -337,7 +337,7 @@ def jaccard_pairs(
     b = sets_df.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shset"), F.col("b.shset")))
     union = F.size(F.array_union(F.col("a.shset"), F.col("b.shset")))
-    return (
+    result = (
         pairs.join(a, pairs.doc_a == F.col("a.doc_id"))
         .join(b, pairs.doc_b == F.col("b.doc_id"))
         .select(
@@ -346,3 +346,10 @@ def jaccard_pairs(
             F.round(F.lit(100.0) * inter / union).cast("long").alias("jaccard_pct"),
         )
     )
+    if shingles is None:
+        # cache entries live in the CacheManager until unpersisted;
+        # long-lived sessions invoking this repeatedly over DIFFERENT
+        # inputs should release the handle after consuming the result
+        # (identical inputs dedupe to one entry via plan equality)
+        result._persisted_shingles = sh
+    return result

@@ -138,12 +138,12 @@ def decode_media(payload: bytes, fmt: str):
     absent from this container and stays a loud stub — swap in
     PIL/ffmpeg here on a real deployment, the Spark plumbing is
     unchanged."""
-    from ..oracle.images import _DECODERS, sniff_image_kind
+    from ..oracle.images import _DECODERS, _safe_decode, sniff_image_kind
 
     kind = fmt if fmt in ("png", "jpeg", "gif", "webp") else sniff_image_kind(payload)
     dec = _DECODERS.get(kind or "")
     if dec is not None:
-        return dec(payload)
+        return _safe_decode(dec, payload)
     raise NotImplementedError(
         f"decoding {kind or 'unknown'} requires PIL/ffmpeg; PNG/GIF/JPEG "
         "are the in-sandbox real-decode paths"

@@ -332,18 +332,31 @@ class _BitReader:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # restart marker: byte-align reset
-                self.pos += 2
-                self.acc = 0
-                self.nacc = 0
-                return self._fill()
             else:
-                return False  # real marker: scan over
+                # any real marker (incl. RST — those are consumed
+                # explicitly at MCU boundaries by consume_restart, spec
+                # E.2.4): entropy data for this interval is over
+                return False
         else:
             self.pos += 1
         self.acc = (self.acc << 8) | b
         self.nacc += 8
         return True
+
+    def consume_restart(self) -> None:
+        """At a restart boundary: discard the interval's byte-padding
+        bits, then eat the expected RSTn marker (ITU T.81 E.2.4)."""
+        self.acc = 0
+        self.nacc = 0
+        d = self.data
+        if (
+            self.pos + 2 <= len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ImageError("expected JPEG restart marker")
 
     def read_bit(self) -> int:
         if self.nacc == 0 and not self._fill():
@@ -416,6 +429,7 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
     huff_ac: dict = {}
     comps: list = []
     width = height = None
+    restart_interval = 0
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -452,6 +466,8 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                 comps.append({"id": cid, "tq": tq})
         elif marker in _JPEG_SOF:
             raise ImageError(f"non-baseline JPEG (SOF {marker:02x})")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             for s in range(ns):
@@ -461,13 +477,15 @@ def decode_jpeg(data: bytes) -> Tuple[int, int, int, bytes]:
                         comp["dc"] = tables >> 4
                         comp["ac"] = tables & 0xF
             return _jpeg_scan(
-                data, pos + 2 + seg_len, width, height, comps, qt, huff_dc, huff_ac
+                data, pos + 2 + seg_len, width, height, comps, qt,
+                huff_dc, huff_ac, restart_interval,
             )
         pos += 2 + seg_len
     raise ImageError("JPEG has no scan")
 
 
-def _jpeg_scan(data, pos, width, height, comps, qt, huff_dc, huff_ac):
+def _jpeg_scan(data, pos, width, height, comps, qt, huff_dc, huff_ac,
+               restart_interval=0):
     if width is None or not comps:
         raise ImageError("JPEG scan before SOF")
     reader = _BitReader(data, pos)
@@ -476,8 +494,15 @@ def _jpeg_scan(data, pos, width, height, comps, qt, huff_dc, huff_ac):
     nc = len(comps)
     planes = [bytearray(bw * 8 * bh * 8) for _ in comps]
     pred = [0] * nc
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            # restart boundary (spec E.2.4): byte-align, eat RSTn,
+            # reset every component's DC predictor
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.consume_restart()
+                pred = [0] * nc
+            mcu += 1
             for ci, comp in enumerate(comps):
                 q = qt.get(comp["tq"])
                 dct = huff_dc.get(comp.get("dc", 0))
@@ -523,6 +548,19 @@ def _jpeg_scan(data, pos, width, height, comps, qt, huff_dc, huff_ac):
     return int(width), int(height), nc, bytes(out)
 
 
+def _safe_decode(dec, payload: bytes) -> Tuple[int, int, int, bytes]:
+    """Run a decoder, normalizing every malformed-payload failure mode
+    (short reads → struct.error/IndexError, empty sequences →
+    ValueError) to ImageError so the error-as-row contract holds —
+    a corrupt payload must never fail a Spark task."""
+    try:
+        return dec(bytes(payload))
+    except ImageError:
+        raise
+    except (struct.error, IndexError, ValueError, zlib.error) as exc:
+        raise ImageError(f"malformed payload: {exc}") from exc
+
+
 _DECODERS = {"png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
 
 
@@ -534,7 +572,7 @@ def decode_image(payload: bytes) -> Tuple[int, int, int, bytes]:
     dec = _DECODERS.get(kind or "")
     if dec is None:
         raise ImageError(f"no decoder for {kind or 'unknown payload'}")
-    return dec(bytes(payload))
+    return _safe_decode(dec, payload)
 
 
 def image_stats_row(payload: bytes) -> Optional[Tuple]:

@@ -168,32 +168,20 @@ def minhash_bands_py(text: str) -> list:
     ]
 
 
-NEAR_DUP_OUTPUT = StructType(
-    [
-        StructField("doc_a", StringType()),
-        StructField("doc_b", StringType()),
-        StructField("band", LongType()),
-        StructField("band_hash", StringType()),
-    ]
-)
-
-NEAR_DUP_STATE = StructType([StructField("members", ArrayType(StringType()))])
-
-
 def _bucket_update(
     key: Tuple, frames: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     members = list(state.get[0]) if state.exists else []
     arrivals: list = []
     for pdf in frames:
-        arrivals.extend(str(d) for d in pdf["doc_id"])
-    arrivals.sort()  # deterministic within-batch order
+        arrivals.extend(pdf["doc_id"].tolist())
+    arrivals.sort()  # deterministic within-batch order (native type)
     out_a: list = []
     out_b: list = []
     for doc in arrivals:
+        if doc in members:
+            continue  # replay / same-batch duplicate: already paired
         for m in members:
-            if m == doc:
-                continue
             a, b = (doc, m) if doc < m else (m, doc)
             out_a.append(a)
             out_b.append(b)
@@ -219,9 +207,13 @@ def streaming_near_dups(
     text beyond the band grouping) are checked against the bucket
     members remembered in keyed GroupState, so a near-duplicate of a
     document from ANY earlier micro-batch is flagged the moment it
-    arrives. Output: (doc_a, doc_b, band, band_hash) — the same pair
-    may surface from multiple bands; distinct downstream if needed.
-    State per bucket is a bounded member list (STREAM_BUCKET_CAP)."""
+    arrives. Output: (doc_a, doc_b, band, band_hash) in the INPUT id
+    column's type — numeric ids order numerically, exactly like the
+    batch twin's struct comparison, so batch/stream candidate sets
+    union cleanly. The same pair may surface from multiple bands;
+    distinct downstream if needed. Replayed arrivals (at-least-once
+    sources) are recognized via membership and re-emit nothing. State
+    per bucket is a bounded member list (STREAM_BUCKET_CAP)."""
     from pyspark.sql.functions import pandas_udf
 
     bands_type = ArrayType(
@@ -234,14 +226,25 @@ def streaming_near_dups(
     def bands_udf(texts: pd.Series) -> pd.Series:
         return texts.map(minhash_bands_py)
 
+    id_type = stream.schema[doc_col].dataType
+    out_schema = StructType(
+        [
+            StructField("doc_a", id_type),
+            StructField("doc_b", id_type),
+            StructField("band", LongType()),
+            StructField("band_hash", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("members", ArrayType(id_type))])
+
     bands = stream.select(
-        F.col(doc_col).cast("string").alias("doc_id"),
+        F.col(doc_col).alias("doc_id"),
         F.explode(bands_udf(F.col(text_col))).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     return bands.groupBy("band", "band_hash").applyInPandasWithState(
         _bucket_update,
-        outputStructType=NEAR_DUP_OUTPUT,
-        stateStructType=NEAR_DUP_STATE,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
