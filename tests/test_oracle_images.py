@@ -153,6 +153,24 @@ def test_jpeg_baseline_round_trip_block_means():
     )
 
 
+def test_jpeg_restart_intervals_round_trip():
+    """DRI/RSTn path: pixels must be identical with and without restart
+    markers (predictor resets + byte alignment handled per spec E.2.4);
+    a stream whose restarts are missing raises loudly."""
+    from typhoon_ocr_spark.oracle.images import decode_jpeg
+
+    plain = decode_jpeg(write_jpeg(60, 41, seed=5))
+    restarted = decode_jpeg(write_jpeg(60, 41, seed=5, restart_interval=3))
+    assert restarted == plain
+    # a decoder that ignored the DC reset would drift: prove the DRI
+    # file really contains restart markers
+    data = write_jpeg(60, 41, seed=5, restart_interval=3)
+    assert any(
+        data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+        for i in range(2, len(data) - 2)
+    )
+
+
 def test_truncated_bodies_decode_error_not_crash():
     from typhoon_ocr_spark.oracle.images import image_stats_row
 

@@ -677,12 +677,25 @@ class _BitWriter:
                 self.acc = 0
                 self.nacc = 0
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Pad the current byte with 1s (spec F.1.2.3) — precedes every
+        restart marker."""
         if self.nacc:
-            self.acc = (self.acc << (8 - self.nacc)) | ((1 << (8 - self.nacc)) - 1)
+            pad = 8 - self.nacc
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)
+            self.acc = 0
+            self.nacc = 0
+
+    def write_marker(self, byte2: int) -> None:
+        """Raw FF xx marker — bypasses stuffing (markers are real)."""
+        self.byte_align()
+        self.out += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -699,11 +712,15 @@ _AC_BITS = [1] + [0] * 15
 _AC_VALS = [0x00]
 
 
-def write_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+def write_jpeg(
+    width: int, height: int, seed: int = 0, restart_interval: int = 0
+) -> bytes:
     """REAL baseline grayscale JPEG: deterministic pixels, FDCT-exact
     DC coefficients (AC quantized to zero → each 8x8 block carries its
     mean), canonical Huffman tables declared in DHT, byte stuffing,
-    decodable by any standards-compliant reader (incl. decode_jpeg)."""
+    decodable by any standards-compliant reader (incl. decode_jpeg).
+    ``restart_interval`` > 0 emits a DRI segment plus RSTn markers with
+    DC-predictor resets every that-many MCUs (spec E.2.4)."""
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     bw, bh = (width + 7) // 8, (height + 7) // 8
 
@@ -712,8 +729,13 @@ def write_jpeg(width: int, height: int, seed: int = 0) -> bytes:
 
     writer = _BitWriter()
     pred = 0
+    mcu = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.write_marker(0xD0 + (mcu // restart_interval - 1) % 8)
+                pred = 0
+            mcu += 1
             total = 0
             for yy in range(8):
                 sy = min(by * 8 + yy, height - 1)  # edge-replicate pad
@@ -746,7 +768,12 @@ def write_jpeg(width: int, height: int, seed: int = 0) -> bytes:
         + b"\x01\x01\x11\x00"
     )
     sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
-    return b"\xff\xd8" + app0 + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + app0 + dqt + dht + dri + sof0 + sos + scan + b"\xff\xd9"
 
 
 def _huff_codes(bits: list, values: list) -> dict:
