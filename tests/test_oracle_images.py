@@ -171,6 +171,23 @@ def test_jpeg_restart_intervals_round_trip():
     )
 
 
+def test_gif_small_first_frame_reports_frame_dims():
+    """A GIF whose first frame is smaller than its logical screen must
+    report the DECODED frame's dims so width*height*channels ==
+    n_samples stays internally consistent."""
+    import struct
+
+    from typhoon_ocr_spark.oracle.images import image_stats_row
+
+    g = bytearray(write_gif(10, 8, seed=1))
+    # enlarge the logical screen only (bytes 6-9: width, height LE)
+    g[6:10] = struct.pack("<HH", 100, 90)
+    row = image_stats_row(bytes(g))
+    assert row[-1] == "real"
+    assert (row[1], row[2]) == (10, 8)          # frame, not screen
+    assert row[3] == 10 * 8 * 3                 # n_samples consistent
+
+
 def test_truncated_bodies_decode_error_not_crash():
     from typhoon_ocr_spark.oracle.images import image_stats_row
 

@@ -56,17 +56,24 @@ def replicate_documents(docs, mult: int = MULT):
 
 
 def replicate_embeddings(emb, mult: int = MULT):
-    """10x embeddings: remapped ids, per-replica deterministic
-    perturbation (scale by 1 + i/1000) so no two replicas tie."""
+    """10x embeddings: remapped ids, per-replica per-DIMENSION additive
+    jitter. A scalar rescale would be a no-op here — sign-LSH buckets
+    and cosine are both exactly invariant to positive scaling, so
+    scaled replicas would co-bucket everywhere and measure a 100x
+    pair blow-up instead of a 10x corpus; additive jitter actually
+    decorrelates bucket membership."""
     parts = [emb]
     for i in range(1, mult):
-        factor = 1.0 + i / 1000.0
+
+        def jitter(x, idx, rep=i):  # deterministic, sign-flipping noise
+            return (x + F.sin((idx + 1).cast("double") * (rep * 7 + 3)) * 0.05).cast(
+                "float"
+            )
+
         parts.append(
             emb.select(
                 (F.col("vec_id") + i * ID_STRIDE).alias("vec_id"),
-                F.transform(
-                    "embedding", lambda x: (x * factor).cast("float")
-                ).alias("embedding"),
+                F.transform("embedding", jitter).alias("embedding"),
                 *[c for c in emb.columns if c not in ("vec_id", "embedding")],
             )
         )

@@ -424,19 +424,22 @@ def is_base64_udf(value: pd.Series) -> pd.Series:
 
 
 def make_external_call_udf(
-    fn, attempts: int = 5, error_value=None, sleep=None, max_in_flight: int = 5
+    fn, attempts: int = 5, error_value=None, sleep=None, max_in_flight: int = 1
 ):
     """Wrap an external per-row call (model endpoint, object store) as
     a Pandas UDF with per-element bounded retry — the engine-side
     rendering of the reference's API retry loop
     (/root/reference/backend/services/ocr_service.py:126-138). Elements
     that exhaust their attempts yield ``error_value`` (error-as-row,
-    never a task failure). ``max_in_flight`` overlaps a batch's calls
-    on a bounded thread pool per Python worker — the reference's
-    ``asyncio.Semaphore(5)`` fan-out (ocr_service.py:297); an endpoint
-    is latency-bound, so sequential rows would idle the executor slot.
-    The model call itself stays external by design (SURVEY.md §2 #19);
-    this is the harness a deployment plugs its client into."""
+    never a task failure). ``max_in_flight`` > 1 overlaps a batch's
+    calls on a bounded thread pool per Python worker — pass 5 to mirror
+    the reference's ``asyncio.Semaphore(5)`` fan-out
+    (ocr_service.py:297) when ``fn`` is THREAD-SAFE (an endpoint is
+    latency-bound, so sequential rows idle the executor slot); the
+    default stays sequential because a shared session/connection inside
+    ``fn`` would race. The model call itself stays external by design
+    (SURVEY.md §2 #19); this is the harness a deployment plugs its
+    client into."""
     import time as _time
 
     from .retry import retrying_series_map

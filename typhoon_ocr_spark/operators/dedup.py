@@ -320,7 +320,14 @@ def jaccard_pairs(
     verification join sides read from that cache, so the corpus is
     tokenized and shingled exactly once instead of three times. At
     100 TB the same pattern holds with the persist swapped for a
-    parquet checkpoint of the shingle/signature frames."""
+    parquet checkpoint of the shingle/signature frames.
+
+    Cache lifetime: one CacheManager entry per DISTINCT input corpus
+    per session (repeat calls on the same frame dedupe via plan
+    equality); the entry is exposed as ``result._persisted_shingles``
+    for callers to unpersist. Long-lived sessions sweeping many
+    corpora should pass their own (checkpointed) ``shingles`` frame
+    instead — then nothing is persisted here."""
     sh = shingles if shingles is not None else shingle_frame(documents, text_col)
     if shingles is None:
         from pyspark import StorageLevel

@@ -121,12 +121,13 @@ def _decode_features(payload: bytes) -> list:
     quads = []
     for qy in (0, 1):
         for qx in (0, 1):
+            x0, x1 = (w // 2, w) if qx else (0, w // 2)
             total = cnt = 0
+            # row-slice sums: C-speed, not a per-pixel Python loop
             for y in range(qy * (h // 2), h if qy else h // 2):
                 row = y * w * ch
-                for x in range(qx * (w // 2), w if qx else w // 2):
-                    total += px[row + x * ch]
-                    cnt += 1
+                total += sum(px[row + x0 * ch : row + x1 * ch : ch])
+                cnt += x1 - x0
             quads.append(total / cnt / 255.0 if cnt else 0.0)
     return [mean, spread, aspect, *quads, 1.0]
 
@@ -138,12 +139,11 @@ def decode_media(payload: bytes, fmt: str):
     absent from this container and stays a loud stub — swap in
     PIL/ffmpeg here on a real deployment, the Spark plumbing is
     unchanged."""
-    from ..oracle.images import _DECODERS, _safe_decode, sniff_image_kind
+    from ..oracle.images import decode_image, sniff_image_kind
 
     kind = fmt if fmt in ("png", "jpeg", "gif", "webp") else sniff_image_kind(payload)
-    dec = _DECODERS.get(kind or "")
-    if dec is not None:
-        return _safe_decode(dec, payload)
+    if kind in ("png", "gif", "jpeg"):
+        return decode_image(payload)
     raise NotImplementedError(
         f"decoding {kind or 'unknown'} requires PIL/ffmpeg; PNG/GIF/JPEG "
         "are the in-sandbox real-decode paths"

@@ -286,6 +286,11 @@ def lsh_bucketed_topk(
     OOM-guard as the pair generators); the DuckDB twin mirrors the
     cap. Output: (query_id, rank, neighbor_id); recall vs the exact
     ``cosine_topk`` is reported in BENCH.md."""
+    if n_dims is None:
+        # resolve once: lsh_table_buckets and lsh_query_probes would
+        # otherwise each fire their own driver-side width-probe job
+        e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        n_dims = _probe_dims(embeddings.select("vec_id", e.alias("e")))
     buckets = lsh_table_buckets(embeddings, n_dims=n_dims)
     qb = lsh_query_probes(
         embeddings, query_every=query_every, n_dims=n_dims, multiprobe=multiprobe

@@ -593,14 +593,17 @@ def image_stats_row(payload: bytes) -> Optional[Tuple]:
     if kind not in _DECODERS:
         return (kind, w, h, None, None, None, "header-only")
     try:
-        n, mean_pm, spread_pm = image_pixel_stat_values(payload)
-        return (kind, w, h, n, mean_pm, spread_pm, "real")
+        dw, dh, n, mean_pm, spread_pm = image_pixel_stat_values(payload)
+        # decoded rows report the DECODER's dims so width*height*ch ==
+        # n_samples always holds (a GIF's first frame may be smaller
+        # than its logical screen; the header reports the screen)
+        return (kind, dw, dh, n, mean_pm, spread_pm, "real")
     except ImageError:
         return (kind, w, h, None, None, None, "decode-error")
 
 
-def image_pixel_stat_values(data: bytes) -> Tuple[int, int, int]:
-    """(n_samples, mean_per_mille, min..max spread_per_mille) —
+def image_pixel_stat_values(data: bytes) -> Tuple[int, int, int, int, int]:
+    """(width, height, n_samples, mean_per_mille, spread_per_mille) —
     deterministic integer pixel statistics for the decode-verification
     path (per-mille of full scale, round-half-even like both engines'
     round())."""
@@ -609,13 +612,14 @@ def image_pixel_stat_values(data: bytes) -> Tuple[int, int, int]:
     total = sum(pixels)
     mean_pm = round(1000 * total / (n * 255)) if n else 0
     spread_pm = round(1000 * (max(pixels) - min(pixels)) / 255) if n else 0
-    return n, mean_pm, spread_pm
+    return width, height, n, mean_pm, spread_pm
 
 
 def png_pixel_stats(data: bytes) -> Tuple[int, int, int]:
     """Back-compat alias (PNG was the only real decoder before GIF/JPEG
-    landed); decodes any supported format now."""
-    return image_pixel_stat_values(data)
+    landed): (n_samples, mean_pm, spread_pm); decodes any supported
+    format now."""
+    return image_pixel_stat_values(data)[2:]
 
 
 # --------------------------------------------------------------------------

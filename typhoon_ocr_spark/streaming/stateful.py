@@ -211,8 +211,11 @@ def streaming_near_dups(
     column's type — numeric ids order numerically, exactly like the
     batch twin's struct comparison, so batch/stream candidate sets
     union cleanly. The same pair may surface from multiple bands;
-    distinct downstream if needed. Replayed arrivals (at-least-once
-    sources) are recognized via membership and re-emit nothing. State
+    distinct downstream if needed. Replays (at-least-once sources) of
+    STORED members are recognized via membership and re-emit nothing;
+    an arrival into an already-full bucket is not remembered, so its
+    replay re-emits the same pairs — the price of bounded state; run a
+    downstream distinct where exact-once pair delivery matters. State
     per bucket is a bounded member list (STREAM_BUCKET_CAP)."""
     from pyspark.sql.functions import pandas_udf
 
