@@ -180,6 +180,57 @@ def test_streaming_near_dup_flags_across_batches(spark, tmp_path):
     assert batches_with_pair and min(batches_with_pair) >= 1
 
 
+def test_streaming_near_dup_state_ttl_evicts():
+    """TTL semantics (unit-level — Spark only fires processing-time
+    timeouts on continuous triggers): an expired-idle bucket is removed
+    and emits nothing; a live bucket re-arms its timeout each batch; a
+    near-dup arriving AFTER eviction finds an empty bucket."""
+    import pandas as pd
+
+    from typhoon_ocr_spark.streaming.stateful import _bucket_update_ttl
+
+    class StubState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+            self.timeouts = []
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+        def remove(self):
+            self.exists = False
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeouts.append(ms)
+
+    state = StubState()
+
+    def arrive(docs):
+        return list(
+            _bucket_update_ttl(
+                (0, "h"), [pd.DataFrame({"doc_id": docs})], state, 500
+            )
+        )
+
+    assert arrive(["d1"]) == [] and state.exists       # stored, armed
+    assert state.timeouts == [500]
+    state.hasTimedOut = True                           # idle past TTL
+    assert arrive([]) == [] and not state.exists       # evicted
+    assert state.timeouts == [500]                     # no re-arm on evict
+    state.hasTimedOut = False
+    assert arrive(["d2"]) == []                        # empty bucket: no pair
+    assert list(state.get[0]) == ["d2"]
+    assert state.timeouts == [500, 500]                # re-armed
+
+
 def test_streaming_near_dup_replay_is_idempotent():
     """A replayed arrival (at-least-once source) must not duplicate
     state entries or re-emit its pairs (unit-level: _bucket_update with

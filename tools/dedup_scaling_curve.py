@@ -62,14 +62,20 @@ def replicate_embeddings(emb, mult: int = MULT):
     scaled replicas would co-bucket everywhere and measure a 100x
     pair blow-up instead of a 10x corpus; additive jitter actually
     decorrelates bucket membership."""
+    # closure factory, NOT a default arg: PySpark infers lambda arity
+    # from the signature, so `def jitter(x, idx, rep=i)` would read as
+    # a 3-arg lambda and fail analysis
+    def make_jitter(rep):
+        def jitter(x, idx):  # deterministic, sign-flipping noise
+            return (
+                x + F.sin((idx + 1).cast("double") * (rep * 7 + 3)) * 0.05
+            ).cast("float")
+
+        return jitter
+
     parts = [emb]
     for i in range(1, mult):
-
-        def jitter(x, idx, rep=i):  # deterministic, sign-flipping noise
-            return (x + F.sin((idx + 1).cast("double") * (rep * 7 + 3)) * 0.05).cast(
-                "float"
-            )
-
+        jitter = make_jitter(i)
         parts.append(
             emb.select(
                 (F.col("vec_id") + i * ID_STRIDE).alias("vec_id"),

@@ -199,8 +199,28 @@ def _bucket_update(
         )
 
 
+def _bucket_update_ttl(
+    key: Tuple, frames: Iterable[pd.DataFrame], state: GroupState, ttl_ms: int
+) -> Iterable[pd.DataFrame]:
+    """TTL wrapper around _bucket_update: a bucket whose timeout fired
+    (idle past ttl_ms with no arrivals) is dropped; live buckets get
+    their timeout re-armed after every batch that touches them."""
+    if state.hasTimedOut:
+        state.remove()
+        return iter(())
+    # drain the generator FIRST: state.update runs inside it, and a
+    # timeout can only be set on a key whose state is defined
+    out = list(_bucket_update(key, frames, state))
+    if ttl_ms > 0:
+        state.setTimeoutDuration(ttl_ms)
+    return iter(out)
+
+
 def streaming_near_dups(
-    stream: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+    stream: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_ms: int = 0,
 ) -> DataFrame:
     """Continuous MinHash near-dup candidates: each arriving document's
     LSH bands (computed in an Arrow-batched pandas UDF — no shuffle of
@@ -216,7 +236,18 @@ def streaming_near_dups(
     an arrival into an already-full bucket is not remembered, so its
     replay re-emits the same pairs — the price of bounded state; run a
     downstream distinct where exact-once pair delivery matters. State
-    per bucket is a bounded member list (STREAM_BUCKET_CAP)."""
+    per bucket is a bounded member list (STREAM_BUCKET_CAP).
+
+    ``state_ttl_ms`` > 0 evicts buckets idle for that long
+    (processing-time timeout): at 10^12 documents the aggregate state
+    would otherwise grow with the corpus forever; with a TTL, near-dups
+    are only caught within the window — the standard freshness/recall
+    dial for continuous ingest dedup. Timeout semantics are Spark's: a
+    key RECEIVING data in a batch never fires its timeout (the arrival
+    wins), so eviction happens on the first post-expiry batch in which
+    the bucket is idle — meant for continuous triggers, not
+    availableNow drains (which keep scheduling batches while any
+    timeout is pending)."""
     from pyspark.sql.functions import pandas_udf
 
     bands_type = ArrayType(
@@ -240,16 +271,23 @@ def streaming_near_dups(
     )
     state_schema = StructType([StructField("members", ArrayType(id_type))])
 
+    def update_with_ttl(key, frames, state):
+        return _bucket_update_ttl(key, frames, state, state_ttl_ms)
+
     bands = stream.select(
         F.col(doc_col).alias("doc_id"),
         F.explode(bands_udf(F.col(text_col))).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     return bands.groupBy("band", "band_hash").applyInPandasWithState(
-        _bucket_update,
+        update_with_ttl if state_ttl_ms > 0 else _bucket_update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms > 0
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
