@@ -202,6 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_probed_topk(
         _t(spark, sf, "embeddings")
     )
+    q["pq_codes"] = lambda spark, sf: similarity.pq_assign(
+        _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
+    )
+    q["ann_pq_topk"] = lambda spark, sf: similarity.pq_adc_topk(
+        _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
+    )
 
     # --- relational skeleton (SURVEY §2.7) ---
     q["token_rollup"] = lambda spark, sf: relational.token_rollup(_t(spark, sf, "events"))
@@ -569,6 +575,48 @@ def oracle_sql() -> dict[str, str]:
         "  ORDER BY list_dot_product(n.e, c.ce) / (n.nrm * c.cn) DESC, c.centroid_id) AS rn "
         " FROM n, c) "
         "SELECT vec_id, centroid_id FROM s WHERE rn = 1"
+    )
+
+    from typhoon_ocr_spark.operators.similarity import PQ_SUBSPACES
+
+    sub_w = EMB_DIMS // PQ_SUBSPACES
+
+    def pq_sub_rows(src: str, idcol: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT vec_id AS {idcol}, {m} AS m, "
+            f"e[{m * sub_w + 1}:{(m + 1) * sub_w}] AS se FROM {src}"
+            for m in range(PQ_SUBSPACES)
+        )
+
+    pq_l2 = (
+        f"list_sum(list_transform(generate_series(1, {sub_w}), "
+        "i -> (vx.se[i] - cx.se[i]) * (vx.se[i] - cx.se[i])))"
+    )
+    pq_cte = (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        f"cv AS (SELECT vec_id, e FROM v WHERE vec_id % {IVF_CENTROID_EVERY} = 0), "
+        f"vx AS ({pq_sub_rows('v', 'vec_id')}), "
+        f"cx AS ({pq_sub_rows('cv', 'cid')}), "
+        "asg AS (SELECT vec_id, CAST(m AS BIGINT) AS m, cid AS code_cid FROM ("
+        " SELECT vx.vec_id, vx.m, cx.cid, row_number() OVER ("
+        f"  PARTITION BY vx.vec_id, vx.m ORDER BY {pq_l2} ASC, cx.cid) AS rn"
+        " FROM vx JOIN cx ON vx.m = cx.m) WHERE rn = 1)"
+    )
+    sql["pq_codes"] = f"{pq_cte} SELECT vec_id, m, code_cid FROM asg"
+    sql["ann_pq_topk"] = (
+        f"{pq_cte}, "
+        f"qx AS ({pq_sub_rows('v', 'query_id')} ), "
+        f"qf AS (SELECT * FROM qx WHERE query_id % {ANN_QUERY_EVERY} = 0), "
+        "lut AS (SELECT qf.query_id, qf.m, cx.cid, "
+        " list_dot_product(qf.se, cx.se) AS part FROM qf JOIN cx ON qf.m = cx.m), "
+        "sc AS (SELECT l.query_id, a.vec_id AS neighbor_id, "
+        " CAST(round(sum(l.part) * 1000000) AS BIGINT) AS score_u "
+        " FROM asg a JOIN lut l ON a.m = l.m AND a.code_cid = l.cid "
+        " WHERE a.vec_id <> l.query_id GROUP BY 1, 2), "
+        "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER ("
+        " PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS BIGINT) AS rank"
+        " FROM sc) "
+        f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
     )
 
     sql["embedding_near_dups"] = (

@@ -69,6 +69,41 @@ def test_lsh_topk_recall_on_planted_cohorts(spark):
     assert recall_multi >= recall_single
 
 
+def test_pq_adc_topk_recall_and_plan(spark):
+    """PQ/ADC search: cohort members share codes, so recall vs the
+    exact top-k is bounded by tie-breaking among equal-score mates
+    (expected ~0.7 on cohorts of 8 with k=5); the scan side must join
+    the broadcast LUT, never a cartesian."""
+    from typhoon_ocr_spark.sources.fixtures import planted_embeddings
+
+    rows = planted_embeddings(800, dims=64, cohort_size=8, noise=0.15)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = similarity.pq_adc_topk(emb, n_dims=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    exact = {(r[0], r[2]) for r in similarity.cosine_topk(emb).collect()}
+    approx = {(r[0], r[2]) for r in df.collect()}
+    assert exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6
+    # every neighbor is a genuine cohort-mate of its query (codes of
+    # different cohorts differ; cross-cohort scores rank far below)
+    assert all(q // 8 == n // 8 for q, n in approx)
+
+
+def test_pq_codes_shape(spark):
+    """Every vector gets exactly PQ_SUBSPACES codes, each pointing at a
+    centroid-cohort member."""
+    from typhoon_ocr_spark.sources.fixtures import planted_embeddings
+
+    emb = spark.createDataFrame(
+        planted_embeddings(200, dims=64), "vec_id long, embedding array<float>"
+    )
+    codes = similarity.pq_assign(emb, n_dims=64).collect()
+    assert len(codes) == 200 * similarity.PQ_SUBSPACES
+    assert all(r["code_cid"] % similarity.IVF_CENTROID_EVERY == 0 for r in codes)
+
+
 def test_ivf_probed_topk_recall(spark):
     emb = _emb(spark)
     exact = {(r[0], r[2]) for r in similarity.cosine_topk(emb).collect()}

@@ -368,6 +368,113 @@ def lsh_sign_buckets(
 
 IVF_CENTROID_EVERY = 50
 
+# Product quantization: split the vector into PQ_SUBSPACES contiguous
+# sub-vectors; each gets its own codebook (the deterministic centroid
+# cohort's sub-vectors). A vector is stored as PQ_SUBSPACES small codes
+# — at 10^12 vectors the search scans CODES (a few bytes/vector), not
+# raw floats; queries score candidates via ADC (asymmetric distance:
+# per-subspace lookup tables of query-to-centroid dots, summed).
+PQ_SUBSPACES = 4
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subspace_rows(frame: DataFrame, id_alias: str, n_dims: int,
+                   n_sub: int = PQ_SUBSPACES) -> DataFrame:
+    """(id, m, se): one row per (vector, subspace) with the sub-vector.
+    Requires n_dims % n_sub == 0."""
+    width = n_dims // n_sub
+    subs = [
+        F.struct(
+            F.lit(m).cast("int").alias("m"),
+            F.slice(F.col("e"), m * width + 1, width).alias("se"),
+        )
+        for m in range(n_sub)
+    ]
+    return frame.select(
+        F.col("vec_id").alias(id_alias), F.explode(F.array(*subs)).alias("s")
+    ).select(id_alias, "s.m", "s.se")
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    n_dims: int,
+    centroid_every: int = IVF_CENTROID_EVERY,
+    n_sub: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """Product-quantization encoding: per (vector, subspace) the id of
+    the nearest codebook centroid by L2 (ties → lowest centroid id).
+    Codebooks = the deterministic centroid cohort's sub-vectors,
+    broadcast; assignment is map-shaped (explode × broadcast join, no
+    big-side shuffle). Output: (vec_id, m, code_cid)."""
+    assert n_dims % n_sub == 0, "dims must split evenly into subspaces"
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = embeddings.select("vec_id", e.alias("e"))
+    vexp = _subspace_rows(v, "vec_id", n_dims, n_sub)
+    cexp = _subspace_rows(
+        v.filter(F.col("vec_id") % centroid_every == 0), "cid", n_dims, n_sub
+    ).withColumnRenamed("se", "ce")
+    scored = vexp.join(F.broadcast(cexp), "m").withColumn(
+        "d2", _l2(F.col("se"), F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("m").cast("long").alias("m"),
+                F.col("cid").alias("code_cid"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_dims: int,
+    centroid_every: int = IVF_CENTROID_EVERY,
+    n_sub: int = PQ_SUBSPACES,
+    query_every: int = ANN_QUERY_EVERY,
+    k: int = ANN_TOP_K,
+) -> DataFrame:
+    """PQ search via ADC: queries build per-subspace lookup tables of
+    (query-sub · centroid-sub) inner products (Q × M × K rows — tiny,
+    broadcast); every vector's codes join the LUT and sum to an
+    approximate dot product; top-k per query by that score. The scan
+    side touches only (vec_id, m, code) — the compressed representation
+    — never raw vectors. Ranking uses the score rounded to micro-units
+    (BIGINT) so FP summation order can't flip equal-score neighbors;
+    ties break by neighbor id. Output: (query_id, rank, neighbor_id)."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = embeddings.select("vec_id", e.alias("e"))
+    codes = pq_assign(embeddings, n_dims, centroid_every, n_sub)
+    qexp = _subspace_rows(
+        v.filter(F.col("vec_id") % query_every == 0), "query_id", n_dims, n_sub
+    ).withColumnRenamed("se", "qe")
+    cexp = _subspace_rows(
+        v.filter(F.col("vec_id") % centroid_every == 0), "cid", n_dims, n_sub
+    ).withColumnRenamed("se", "ce")
+    lut = qexp.join(cexp, "m").select(
+        "query_id", "m", "cid", _dot(F.col("qe"), F.col("ce")).alias("part")
+    )
+    scored = (
+        codes.join(F.broadcast(lut),
+                   (codes.m == lut.m) & (codes.code_cid == lut.cid))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("part") * 1e6).cast("long").alias("score_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"))
+    )
+
 
 def ivf_assign(embeddings: DataFrame, centroid_every: int = IVF_CENTROID_EVERY) -> DataFrame:
     """IVF coarse quantization: centroids are the deterministic cohort
