@@ -371,6 +371,7 @@ def main() -> None:
         "lsh_multiprobe": similarity.lsh_bucketed_topk(planted, n_dims=64),
         "lsh_single_probe": similarity.lsh_bucketed_topk(planted, n_dims=64, multiprobe=0),
         "ivf": similarity.ivf_probed_topk(planted),
+        "pq_adc": similarity.pq_adc_topk(planted, n_dims=64),
     }.items():
         got = {(r[0], r[2]) for r in rdf.collect()}
         recall[rname] = round(len(got & exact_nn) / len(exact_nn), 3)
