@@ -607,15 +607,21 @@ def oracle_sql() -> dict[str, str]:
         f"{pq_cte}, "
         f"qx AS ({pq_sub_rows('v', 'query_id')} ), "
         f"qf AS (SELECT * FROM qx WHERE query_id % {ANN_QUERY_EVERY} = 0), "
+        "qn AS (SELECT vec_id AS query_id, sqrt(list_dot_product(e, e)) AS qn "
+        f" FROM v WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
         "lut AS (SELECT qf.query_id, qf.m, cx.cid, "
-        " list_dot_product(qf.se, cx.se) AS part FROM qf JOIN cx ON qf.m = cx.m), "
+        " list_dot_product(qf.se, cx.se) AS part, "
+        " list_dot_product(cx.se, cx.se) AS cn2 FROM qf JOIN cx ON qf.m = cx.m), "
         "sc AS (SELECT l.query_id, a.vec_id AS neighbor_id, "
-        " CAST(round(sum(l.part) * 1000000) AS BIGINT) AS score_u "
+        " sum(l.part) AS num, sum(l.cn2) AS rn2 "
         " FROM asg a JOIN lut l ON a.m = l.m AND a.code_cid = l.cid "
         " WHERE a.vec_id <> l.query_id GROUP BY 1, 2), "
+        "cs AS (SELECT sc.query_id, sc.neighbor_id, "
+        " CAST(round(sc.num / (qn.qn * sqrt(sc.rn2)) * 1000000) AS BIGINT) AS score_u"
+        " FROM sc JOIN qn ON sc.query_id = qn.query_id), "
         "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER ("
         " PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS BIGINT) AS rank"
-        " FROM sc) "
+        " FROM cs) "
         f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
     )
 

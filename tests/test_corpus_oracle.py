@@ -46,6 +46,8 @@ CORPUS_QUERIES = [
     "ann_ivf_assign",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "pq_codes",
+    "ann_pq_topk",
     "dataset_split",
     "stratified_sample",
     "revenue_by_nation",

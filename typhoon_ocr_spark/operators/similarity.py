@@ -407,19 +407,26 @@ def pq_assign(
     n_dims: int,
     centroid_every: int = IVF_CENTROID_EVERY,
     n_sub: int = PQ_SUBSPACES,
+    centroid_subs: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: per (vector, subspace) the id of
     the nearest codebook centroid by L2 (ties → lowest centroid id).
     Codebooks = the deterministic centroid cohort's sub-vectors,
     broadcast; assignment is map-shaped (explode × broadcast join, no
-    big-side shuffle). Output: (vec_id, m, code_cid)."""
+    big-side shuffle). Pass ``centroid_subs`` (a (cid, m, ce) frame) to
+    share the codebook subtree with a search stage.
+    Output: (vec_id, m, code_cid)."""
     assert n_dims % n_sub == 0, "dims must split evenly into subspaces"
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = embeddings.select("vec_id", e.alias("e"))
     vexp = _subspace_rows(v, "vec_id", n_dims, n_sub)
-    cexp = _subspace_rows(
-        v.filter(F.col("vec_id") % centroid_every == 0), "cid", n_dims, n_sub
-    ).withColumnRenamed("se", "ce")
+    cexp = (
+        centroid_subs
+        if centroid_subs is not None
+        else _subspace_rows(
+            v.filter(F.col("vec_id") % centroid_every == 0), "cid", n_dims, n_sub
+        ).withColumnRenamed("se", "ce")
+    )
     scored = vexp.join(F.broadcast(cexp), "m").withColumn(
         "d2", _l2(F.col("se"), F.col("ce"))
     )
@@ -441,31 +448,51 @@ def pq_adc_topk(
     k: int = ANN_TOP_K,
 ) -> DataFrame:
     """PQ search via ADC: queries build per-subspace lookup tables of
-    (query-sub · centroid-sub) inner products (Q × M × K rows — tiny,
-    broadcast); every vector's codes join the LUT and sum to an
-    approximate dot product; top-k per query by that score. The scan
-    side touches only (vec_id, m, code) — the compressed representation
-    — never raw vectors. Ranking uses the score rounded to micro-units
-    (BIGINT) so FP summation order can't flip equal-score neighbors;
-    ties break by neighbor id. Output: (query_id, rank, neighbor_id)."""
+    (query-sub · centroid-sub) inner products plus the centroids'
+    squared norms (Q × M × K rows — tiny, broadcast); every vector's
+    codes join the LUT and the per-query sums yield the COSINE between
+    the query and the vector's code reconstruction:
+    cos = Σ part / (|q| · sqrt(Σ |c_code|²)) — subspaces decompose
+    orthogonally, so the reconstruction norm is exactly the root of the
+    summed centroid norms, still computable from codes alone (an
+    unnormalized dot would systematically favor large-norm vectors over
+    true cosine neighbors). The scan side touches only (vec_id, m,
+    code) — never raw vectors. Ranking uses the cosine rounded to
+    micro-units (BIGINT) so FP summation order can't flip equal-score
+    neighbors; ties break by neighbor id.
+    Output: (query_id, rank, neighbor_id)."""
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = embeddings.select("vec_id", e.alias("e"))
-    codes = pq_assign(embeddings, n_dims, centroid_every, n_sub)
-    qexp = _subspace_rows(
-        v.filter(F.col("vec_id") % query_every == 0), "query_id", n_dims, n_sub
-    ).withColumnRenamed("se", "qe")
     cexp = _subspace_rows(
         v.filter(F.col("vec_id") % centroid_every == 0), "cid", n_dims, n_sub
     ).withColumnRenamed("se", "ce")
+    codes = pq_assign(embeddings, n_dims, centroid_every, n_sub,
+                      centroid_subs=cexp)
+    qexp = _subspace_rows(
+        v.filter(F.col("vec_id") % query_every == 0), "query_id", n_dims, n_sub
+    ).withColumnRenamed("se", "qe")
+    qnorm = (
+        v.filter(F.col("vec_id") % query_every == 0)
+        .select(F.col("vec_id").alias("query_id"),
+                F.sqrt(_dot(F.col("e"), F.col("e"))).alias("qn"))
+    )
     lut = qexp.join(cexp, "m").select(
-        "query_id", "m", "cid", _dot(F.col("qe"), F.col("ce")).alias("part")
+        "query_id", "m", "cid",
+        _dot(F.col("qe"), F.col("ce")).alias("part"),
+        _dot(F.col("ce"), F.col("ce")).alias("cn2"),
     )
     scored = (
         codes.join(F.broadcast(lut),
                    (codes.m == lut.m) & (codes.code_cid == lut.cid))
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("part") * 1e6).cast("long").alias("score_u"))
+        .agg(F.sum("part").alias("num"), F.sum("cn2").alias("rn2"))
+        .join(F.broadcast(qnorm), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(F.col("num") / (F.col("qn") * F.sqrt("rn2")) * 1e6)
+            .cast("long").alias("score_u"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), F.asc("vec_id"))
     return (
