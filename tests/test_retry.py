@@ -132,7 +132,10 @@ def test_external_call_udf_against_real_http_endpoint(spark):
 
     from typhoon_ocr_spark.functions.udfs import make_external_call_udf
 
-    ep = _MockEndpoint(flaky_failures=2, latency_s=0.05)
+    # latency high enough that even a heavily loaded host can't finish
+    # one call before the pool submits the next — the overlap assertion
+    # below flaked at 50 ms during full-suite runs on throttled windows
+    ep = _MockEndpoint(flaky_failures=2, latency_s=0.15)
     try:
         port = ep.port
 
