@@ -153,6 +153,77 @@ def test_jpeg_baseline_round_trip_block_means():
     )
 
 
+def test_jpeg_ac_coefficient_path():
+    """The general AC decode path (run/size symbols, ZRL, coefficient
+    extend, full IDCT) — dead code for the DC-only fixture encoder, but
+    hit by any real-world JPEG. A single 8x8 block is hand-assembled
+    with DC=8, a ZRL (16 zeros), and AC=+1 at zigzag index 17; the
+    decoded pixels must equal an INDEPENDENTLY computed inverse DCT."""
+    import math
+    import struct
+
+    from typhoon_ocr_spark.oracle.images import (
+        _BitWriter,
+        _huff_codes,
+        _JPEG_Q,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+
+    # tables: DC cats 0-11 at 4 bits; AC canonical: '0'=EOB, '10'=(0,1), '110'=ZRL
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_vals = list(range(12))
+    ac_bits = [1, 1, 1] + [0] * 13
+    ac_vals = [0x00, 0x01, 0xF0]
+    dc = _huff_codes(dc_bits, dc_vals)
+    ac = _huff_codes(ac_bits, ac_vals)
+
+    w = _BitWriter()
+    w.write(*dc[4])      # DC category 4
+    w.write(8, 4)        # DC diff = +8
+    w.write(*ac[0xF0])   # ZRL: 16 zero ACs
+    w.write(*ac[0x01])   # (run 0, size 1)
+    w.write(1, 1)        # AC value +1  (lands at zigzag index 17)
+    w.write(*ac[0x00])   # EOB
+    scan = w.flush()
+
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([_JPEG_Q] * 64)
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">H", 2 + 17 + len(dc_vals) + 17 + len(ac_vals))
+        + b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals)
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    jpg = b"\xff\xd8" + dqt + dht + sof0 + sos + scan + b"\xff\xd9"
+
+    gw, gh, ch, px = decode_jpeg(jpg)
+    assert (gw, gh, ch) == (8, 8, 1)
+
+    # independent reference IDCT (textbook formula, no shared code path)
+    coef = [0] * 64
+    coef[0] = 8 * _JPEG_Q
+    coef[_ZIGZAG[17]] = 1 * _JPEG_Q
+
+    def c(u):
+        return 1 / math.sqrt(2) if u == 0 else 1.0
+
+    expected = []
+    for y in range(8):
+        for x in range(8):
+            s = sum(
+                c(u) * c(v) / 4 * coef[v * 8 + u]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for u in range(8)
+                for v in range(8)
+            )
+            expected.append(max(0, min(255, int(round(s + 128)))))
+    assert list(px) == expected
+    assert coef[_ZIGZAG[17]] != 0 and len(set(px)) > 1  # AC really landed
+
+
 def test_jpeg_restart_intervals_round_trip():
     """DRI/RSTn path: pixels must be identical with and without restart
     markers (predictor resets + byte alignment handled per spec E.2.4);
