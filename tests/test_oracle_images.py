@@ -259,6 +259,65 @@ def test_gif_small_first_frame_reports_frame_dims():
     assert row[3] == 10 * 8 * 3                 # n_samples consistent
 
 
+def test_resize_image_payload_real_pixels():
+    """Pixel-true resize: nearest-neighbor samples land exactly where
+    the integer mapping says, for both the gray (PNG/JPEG) and RGB
+    (GIF) re-encode paths; the small-image fast path returns no new
+    payload; the reference's asymmetric int() truncation holds."""
+    from typhoon_ocr_spark.oracle.images import (
+        decode_png,
+        resize_image_payload,
+        write_gif,
+        write_png,
+    )
+
+    # small image: untouched (reference's <=300 px fast path; the rule
+    # is strictly >300 on either side)
+    w, h, nw, nh, png = resize_image_payload(write_png(100, 50, seed=1))
+    assert (w, h, nw, nh, png) == (100, 50, 100, 50, None)
+    assert resize_image_payload(write_png(263, 131, seed=3), max_size=64)[4] is None
+
+    big = write_gif(310, 40, seed=4)  # wide GIF over the 300 px trigger
+    w, h, nw, nh, png = resize_image_payload(big, max_size=62)
+    assert (w, h) == (310, 40)
+    assert (nw, nh) == (62, int(40 * (62 / 310)))  # asymmetric int()
+    dw, dh, ch, px = decode_png(png)
+    assert (dw, dh, ch) == (nw, nh, 3)  # GIF decodes RGB → RGB PNG
+    # nearest-neighbor exactness: dst (x,y) == src (x*310//62, y*40//8)
+    ok = all(
+        px[3 * (y * nw + x)] == ((x * 310 // nw) * 31 + (y * 40 // nh) * 17 + 4) & 0xFF
+        for y in range(nh)
+        for x in range(nw)
+    )
+    assert ok
+
+
+def test_resize_images_operator(spark):
+    """The Spark surface: image rows resize for real (PNG payload out),
+    under-threshold rows keep no new payload, WebP rows become error
+    rows — never task failures."""
+    from typhoon_ocr_spark.oracle.images import decode_png, write_jpeg, write_webp
+    from typhoon_ocr_spark.operators.multimodal import resize_images
+
+    rows = [
+        ("u-big", bytearray(write_jpeg(310, 150, seed=6))),
+        ("u-small", bytearray(write_png(40, 20, seed=6))),
+        ("u-webp", bytearray(write_webp(400, 300))),
+        ("u-html", bytearray(b"<html><body>x</body></html>")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in resize_images(df, max_size=64).collect()}
+    assert set(got) == {"u-big", "u-small", "u-webp"}
+    big = got["u-big"]
+    assert (big["new_width"], big["new_height"]) == (64, int(150 * 64 / 310))
+    dw, dh, ch, _ = decode_png(bytes(big["resized_png"]))
+    assert (dw, dh, ch) == (big["new_width"], big["new_height"], 1)
+    assert big["error"] is None
+    assert got["u-small"]["resized_png"] is None and got["u-small"]["error"] is None
+    assert got["u-webp"]["resized_png"] is None and got["u-webp"]["error"]
+    assert got["u-webp"]["width"] == 400  # header dims still reported
+
+
 def test_truncated_bodies_decode_error_not_crash():
     from typhoon_ocr_spark.oracle.images import image_stats_row
 

@@ -225,6 +225,67 @@ def image_pixel_stats(pages: DataFrame) -> DataFrame:
     return image_rows.select("url", "html").mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+        StructField("resized_png", BinaryType()),  # NULL when unresized
+        StructField("error", StringType()),        # NULL on success
+    ]
+)
+
+
+def resize_images(pages: DataFrame, max_size: int = 2048) -> DataFrame:
+    """REAL pixel resize over the raster rows of a pages corpus — the
+    reference's resize_if_needed (ocr_utils.py:467-494) with actual
+    resampling: decode (PNG/GIF/baseline JPEG), nearest-neighbor scale
+    of the longest side to ``max_size`` when a side exceeds 300 px,
+    re-encode as PNG. Images under the threshold keep their original
+    payload (resized_png NULL), undecodable payloads become error rows
+    (never task failures). mapInPandas streams Arrow batches; only
+    url+payload enter the UDF and the resized bytes leave it — nothing
+    else shuffles. Output: RESIZED_SCHEMA."""
+    from ..functions.udfs import sniff_kind_col
+    from ..oracle.images import (
+        ImageError,
+        image_dimensions,
+        resize_image_payload,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("url", "width", "height", "new_width",
+                                    "new_height", "resized_png", "error")}
+            for url, payload in zip(pdf["url"], pdf["html"]):
+                data = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, nw, nh, png = resize_image_payload(data, max_size)
+                    err = None
+                except (ImageError, NotImplementedError) as exc:
+                    try:
+                        w, h = image_dimensions(data)
+                    except ImageError:
+                        w = h = None
+                    nw = nh = png = None
+                    err = str(exc)[:200]
+                rows["url"].append(url)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["new_width"].append(nw)
+                rows["new_height"].append(nh)
+                rows["resized_png"].append(png)
+                rows["error"].append(err)
+            yield pd.DataFrame(rows)
+
+    image_rows = pages.withColumn("kind", sniff_kind_col("html")).filter(
+        F.col("kind") == "image"
+    )
+    return image_rows.select("url", "html").mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def media_from_documents(documents: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents corpus
     (text bytes as the opaque payload) — exercises the multimodal

@@ -653,6 +653,79 @@ def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
+    """Real 8-bit RGB PNG encoder (stdlib): filter-None rows, zlib
+    IDAT, correct CRCs. ``pixels`` is row-major RGB, 3*width*height."""
+    if len(pixels) != width * height * 3:
+        raise ImageError("pixel buffer size mismatch")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    rows = bytearray()
+    for y in range(height):
+        rows.append(0)  # filter: None
+        rows += pixels[y * stride : (y + 1) * stride]
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resample_nearest(
+    w: int, h: int, ch: int, px: bytes, new_w: int, new_h: int
+) -> bytes:
+    """Deterministic nearest-neighbor resample (dst pixel (x,y) reads
+    src (x*w//new_w, y*h//new_h)) — the engine's stand-in for PIL's
+    resize kernel (ocr_utils.py:467-494 resizes through PIL; no PIL
+    in-sandbox, and nearest is the only kernel with an exact integer
+    definition both up- and down-scale)."""
+    out = bytearray(new_w * new_h * ch)
+    for y in range(new_h):
+        sy = y * h // new_h
+        src_row = sy * w * ch
+        dst_row = y * new_w * ch
+        for x in range(new_w):
+            sx = x * w // new_w
+            out[dst_row + x * ch : dst_row + (x + 1) * ch] = px[
+                src_row + sx * ch : src_row + (sx + 1) * ch
+            ]
+    return bytes(out)
+
+
+def resize_image_payload(payload: bytes, max_size: int = 2048) -> Tuple:
+    """The reference's resize_if_needed with REAL pixels
+    (ocr_utils.py:467-494): decode; when a side exceeds 300 px, scale
+    the LONGEST side to ``max_size`` (keeping its asymmetric int()
+    truncation on the short side), nearest-neighbor resample, re-encode
+    as PNG (gray or RGB per the decoded channel count). Returns
+    (orig_w, orig_h, new_w, new_h, png_bytes); unresized images return
+    their dims with png_bytes=None (the caller keeps the original
+    payload, as the reference does)."""
+    w, h, ch, px = decode_image(payload)
+    if ch in (2, 4):  # drop the alpha plane before re-encode
+        keep = ch - 1
+        stripped = bytearray()
+        for i in range(0, len(px), ch):
+            stripped += px[i : i + keep]
+        px, ch = bytes(stripped), keep
+    if not (w > 300 or h > 300):
+        return (w, h, w, h, None)
+    if w >= h:
+        new_w, new_h = max_size, int(h * (max_size / w))
+    else:
+        new_w, new_h = int(w * (max_size / h)), max_size
+    new_w, new_h = max(new_w, 1), max(new_h, 1)
+    out = resample_nearest(w, h, ch, px, new_w, new_h)
+    if ch == 1:
+        png = encode_png_gray(new_w, new_h, out)
+    elif ch == 3:
+        png = encode_png_rgb(new_w, new_h, out)
+    else:
+        raise ImageError(f"unsupported channel count {ch} for re-encode")
+    return (w, h, new_w, new_h, png)
+
+
 def write_png(width: int, height: int, seed: int = 0) -> bytes:
     """Grayscale PNG with a deterministic byte pattern; real zlib IDAT
     and CRCs — any standards-compliant reader accepts it."""
