@@ -260,6 +260,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["image_pixel_stats"] = lambda spark, sf: multimodal.image_pixel_stats(
         _pages(spark, sf)
     )
+
+    def image_resize(spark, sf):
+        from typhoon_ocr_spark.sources.fixtures import RESIZE_GATE_MAX
+
+        resized = multimodal.resize_images(_pages(spark, sf), RESIZE_GATE_MAX)
+        return resized.select(
+            "url", "width", "height", "new_width", "new_height",
+            F.sha2("resized_png", 256).alias("resized_sha"),
+            "error",
+        )
+
+    q["image_resize"] = image_resize
     return q
 
 
@@ -827,5 +839,9 @@ def oracle_sql() -> dict[str, str]:
     sql["image_pixel_stats"] = (
         f"SELECT url, img_kind, width, height, n_samples, mean_pm, spread_pm, decoded "
         f"FROM read_parquet('{fx}/expected_images.parquet')"
+    )
+    sql["image_resize"] = (
+        f"SELECT url, width, height, new_width, new_height, resized_sha, error "
+        f"FROM read_parquet('{fx}/expected_resizes.parquet')"
     )
     return sql

@@ -40,6 +40,8 @@ CORPUS_QUERIES = [
     "sessionize",
     "media_resize",
     "media_features",
+    # image_resize / image_pixel_stats pin the sf0.01 fixture golden in
+    # their oracle SQL -> covered by the driver gate + check_correctness
     "simhash_near_dups",
     "embedding_near_dups",
     "ann_lsh_buckets",

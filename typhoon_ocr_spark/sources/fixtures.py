@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 8  # v8: real GIF(LZW)+baseline-JPEG payloads and decode (generate_pages changed)
+CORPUS_VERSION = 9  # v9: + expected_resizes golden (compute_expected only; payloads unchanged since v8)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -335,6 +335,62 @@ def compute_expected_renders(pages: Dict[str, list]) -> pa.Table:
     return pa.table(rows, schema=schema)
 
 
+# gate-tier resize target: the reference's 2048 default upscales every
+# raster to megapixels — pure-Python resampling at that size would
+# dominate the correctness run; the RULE (threshold, truncation,
+# nearest mapping) is identical at any target
+RESIZE_GATE_MAX = 256
+
+
+def compute_expected_resizes(pages: Dict[str, list]) -> pa.Table:
+    """Golden for the real pixel-resize path (operators/multimodal.
+    resize_images): per raster row the dims + sha256 of the re-encoded
+    PNG (or NULL when under threshold / error text when undecodable) —
+    computed by the same oracle function the UDF runs."""
+    import hashlib
+
+    from ..oracle.images import (
+        ImageError,
+        image_dimensions,
+        resize_image_payload,
+        sniff_image_kind,
+    )
+
+    cols = ("width", "height", "new_width", "new_height", "resized_sha", "error")
+    rows = {k: [] for k in ("url",) + cols}
+    for url, payload in zip(pages["url"], pages["html"]):
+        if sniff_image_kind(payload) is None:
+            continue
+        try:
+            if image_dimensions(payload) is None:
+                continue
+        except ImageError:
+            continue
+        try:
+            w, h, nw, nh, png = resize_image_payload(payload, RESIZE_GATE_MAX)
+            sha = hashlib.sha256(png).hexdigest() if png is not None else None
+            err = None
+        except (ImageError, NotImplementedError) as exc:
+            w, h = image_dimensions(payload)
+            nw = nh = sha = None
+            err = str(exc)[:200]
+        rows["url"].append(url)
+        for col, val in zip(cols, (w, h, nw, nh, sha, err)):
+            rows[col].append(val)
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("width", pa.int64()),
+            ("height", pa.int64()),
+            ("new_width", pa.int64()),
+            ("new_height", pa.int64()),
+            ("resized_sha", pa.string()),
+            ("error", pa.string()),
+        ]
+    )
+    return pa.table(rows, schema=schema)
+
+
 def compute_expected_messages(pages: Dict[str, list]) -> pa.Table:
     """Golden for the full LLM request envelope (prompt + base64 page
     render): sha256 per pdf page."""
@@ -506,6 +562,9 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         )
         pq.write_table(
             compute_expected_renders(pages), os.path.join(out_dir, "expected_renders.parquet")
+        )
+        pq.write_table(
+            compute_expected_resizes(pages), os.path.join(out_dir, "expected_resizes.parquet")
         )
         pq.write_table(
             compute_expected_messages(pages), os.path.join(out_dir, "expected_messages.parquet")
