@@ -635,31 +635,14 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
-    """Real 8-bit grayscale PNG encoder (stdlib): filter-None rows,
-    zlib IDAT, correct CRCs. ``pixels`` is row-major width*height."""
-    if len(pixels) != width * height:
+def _encode_png(width: int, height: int, pixels: bytes, channels: int) -> bytes:
+    """Shared PNG encode core: filter-None rows, zlib IDAT, correct
+    CRCs. ``channels`` 1 (gray) or 3 (RGB)."""
+    if len(pixels) != width * height * channels:
         raise ImageError("pixel buffer size mismatch")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    rows = bytearray()
-    for y in range(height):
-        rows.append(0)  # filter: None
-        rows += pixels[y * width : (y + 1) * width]
-    return (
-        PNG_MAGIC
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(rows), 6))
-        + _png_chunk(b"IEND", b"")
-    )
-
-
-def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
-    """Real 8-bit RGB PNG encoder (stdlib): filter-None rows, zlib
-    IDAT, correct CRCs. ``pixels`` is row-major RGB, 3*width*height."""
-    if len(pixels) != width * height * 3:
-        raise ImageError("pixel buffer size mismatch")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    stride = width * 3
+    color_type = {1: 0, 3: 2}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
     rows = bytearray()
     for y in range(height):
         rows.append(0)  # filter: None
@@ -670,6 +653,16 @@ def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(rows), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Real 8-bit grayscale PNG encoder (stdlib)."""
+    return _encode_png(width, height, pixels, 1)
+
+
+def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
+    """Real 8-bit RGB PNG encoder (stdlib); row-major RGB pixels."""
+    return _encode_png(width, height, pixels, 3)
 
 
 def resample_nearest(
@@ -703,19 +696,23 @@ def resize_image_payload(payload: bytes, max_size: int = 2048) -> Tuple:
     their dims with png_bytes=None (the caller keeps the original
     payload, as the reference does)."""
     w, h, ch, px = decode_image(payload)
+    if not (w > 300 or h > 300):
+        return (w, h, w, h, None)
     if ch in (2, 4):  # drop the alpha plane before re-encode
         keep = ch - 1
         stripped = bytearray()
         for i in range(0, len(px), ch):
             stripped += px[i : i + keep]
         px, ch = bytes(stripped), keep
-    if not (w > 300 or h > 300):
-        return (w, h, w, h, None)
     if w >= h:
         new_w, new_h = max_size, int(h * (max_size / w))
     else:
         new_w, new_h = int(w * (max_size / h)), max_size
-    new_w, new_h = max(new_w, 1), max(new_h, 1)
+    if new_w < 1 or new_h < 1:
+        # the reference's int() truncation produces 0 here and PIL then
+        # errors — surface the same failure as an error row, not a
+        # silently different geometry
+        raise ImageError(f"degenerate resize target {new_w}x{new_h}")
     out = resample_nearest(w, h, ch, px, new_w, new_h)
     if ch == 1:
         png = encode_png_gray(new_w, new_h, out)

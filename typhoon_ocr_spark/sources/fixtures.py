@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 9  # v9: + expected_resizes golden (compute_expected only; payloads unchanged since v8)
+CORPUS_VERSION = 10  # v10: ~30% of rasters exceed the 300px resize trigger (payload change — regen all tiers)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -177,12 +177,18 @@ _IMAGE_WRITERS = [write_png, write_jpeg, write_gif, write_webp]
 def _image_payload(rng: random.Random, doc_id: int) -> bytes:
     """Raster payload (PNG/JPEG/GIF/WebP) with deterministic dims.
     PNG/JPEG/GIF carry REAL pixel data (bounded dims keep encode cost
-    sane); WebP stays header-only (its entropy codec is out of scope)."""
+    sane); WebP stays header-only (its entropy codec is out of scope).
+    ~30% of the real-format rasters exceed the 300 px resize trigger so
+    the pixel-resample golden actually checks resized PNGs (a corpus
+    capped under the trigger made that gate vacuous — round-3 review)."""
     writer = _IMAGE_WRITERS[rng.randrange(len(_IMAGE_WRITERS))]
     width = rng.randint(16, 2400)
     height = rng.randint(16, 1800)
     if writer is not write_webp:  # real pixels: keep the count bounded
-        width, height = width % 256 + 8, height % 256 + 8
+        if rng.random() < 0.3:  # over-trigger cohort (one side > 300)
+            width, height = width % 150 + 301, height % 200 + 60
+        else:
+            width, height = width % 256 + 8, height % 256 + 8
     return writer(width, height, seed=doc_id)
 
 
@@ -361,17 +367,18 @@ def compute_expected_resizes(pages: Dict[str, list]) -> pa.Table:
     for url, payload in zip(pages["url"], pages["html"]):
         if sniff_image_kind(payload) is None:
             continue
-        try:
-            if image_dimensions(payload) is None:
-                continue
-        except ImageError:
-            continue
+        # row semantics MUST mirror operators/multimodal.resize_images
+        # exactly (incl. error rows with NULL dims for image-sniffing
+        # payloads whose header won't parse), or row counts drift
         try:
             w, h, nw, nh, png = resize_image_payload(payload, RESIZE_GATE_MAX)
             sha = hashlib.sha256(png).hexdigest() if png is not None else None
             err = None
         except (ImageError, NotImplementedError) as exc:
-            w, h = image_dimensions(payload)
+            try:
+                w, h = image_dimensions(payload)
+            except ImageError:
+                w = h = None
             nw = nh = sha = None
             err = str(exc)[:200]
         rows["url"].append(url)
