@@ -31,10 +31,21 @@ from typhoon_ocr_spark.functions.textsql import (
     ANN_QUERY_EVERY,
     ANN_TOP_K,
     BPE_TOKEN_PATTERN,
+    BULLET_PREFIXES,
+    ELLIPSIS_SUFFIXES,
     FINGERPRINT_NGRAM,
+    GOPHER_MAX_BULLET_LINE_PM,
+    GOPHER_MAX_DUP_LINE_CHAR_PM,
+    GOPHER_MAX_DUP_LINE_PM,
+    GOPHER_MAX_ELLIPSIS_LINE_PM,
+    GOPHER_MAX_MEAN_WORD_LEN_CENTI,
+    GOPHER_MIN_ALPHA_WORD_PM,
+    GOPHER_MIN_MEAN_WORD_LEN_CENTI,
+    LINE_SPLIT_PATTERN,
     MINHASH_BANDS,
     MINHASH_MAX_BUCKET,
     MINHASH_PERMS,
+    PARA_SPLIT_PATTERN,
     PUNCT_CLASS,
     SIMHASH_BITS,
     SIMHASH_HEX_HIGH,
@@ -181,6 +192,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores"] = lambda spark, sf: textstats.quality_scores(_t(spark, sf, "documents"))
     q["token_counts"] = lambda spark, sf: textstats.token_counts(_t(spark, sf, "documents"))
     q["fingerprints"] = lambda spark, sf: textstats.fingerprints(_t(spark, sf, "documents"))
+    q["repetition_stats"] = lambda spark, sf: textstats.repetition_stats(
+        _t(spark, sf, "documents")
+    )
+    q["gopher_quality"] = lambda spark, sf: textstats.gopher_quality(
+        _t(spark, sf, "documents")
+    )
+    q["top_bigram"] = lambda spark, sf: textstats.top_bigram(_t(spark, sf, "documents"))
     q["dataset_split"] = lambda spark, sf: sampling.train_val_test_split(
         _t(spark, sf, "documents").select("doc_id")
     )
@@ -733,6 +751,93 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, list_min(grams) AS fingerprint, "
         "CAST(len(grams) AS BIGINT) AS n_grams FROM g"
     ).format(k=k, k1=k - 1)
+
+    # Gopher/C4-style repetition + quality filters. NB: the \n / \s in
+    # the split patterns must survive into RE2 — duckdb string literals
+    # keep backslashes literal, so the Python constants embed directly.
+    duck_lines = (
+        f"list_filter(list_transform(string_split_regex(text, '{LINE_SPLIT_PATTERN}'), "
+        "x -> trim(x)), x -> x <> '')"
+    )
+    duck_paras = (
+        f"list_filter(list_transform(string_split_regex(text, '{PARA_SPLIT_PATTERN}'), "
+        "x -> trim(x)), x -> x <> '')"
+    )
+
+    def duck_charsum(arr: str) -> str:
+        return (
+            f"coalesce(list_aggregate(list_transform({arr}, x -> length(x)), 'sum'), 0)"
+        )
+
+    def duck_pm(num: str, den: str) -> str:
+        return f"CAST(round(1000.0 * ({num}) / greatest({den}, 1)) AS BIGINT)"
+
+    sql["repetition_stats"] = (
+        f"WITH t AS (SELECT doc_id, {duck_lines} AS lines, {duck_paras} AS paras "
+        "FROM documents), "
+        "m AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+        " len(list_distinct(lines)) AS n_dlines, "
+        f" {duck_charsum('lines')} AS line_chars, "
+        f" {duck_charsum('list_distinct(lines)')} AS dline_chars, "
+        " CAST(len(paras) AS BIGINT) AS n_paras, "
+        " len(list_distinct(paras)) AS n_dparas FROM t) "
+        "SELECT doc_id, n_lines, "
+        f"{duck_pm('n_lines - n_dlines', 'n_lines')} AS dup_line_per_mille, "
+        f"{duck_pm('line_chars - dline_chars', 'line_chars')} AS dup_line_char_per_mille, "
+        "n_paras, "
+        f"{duck_pm('n_paras - n_dparas', 'n_paras')} AS dup_para_per_mille FROM m"
+    )
+
+    ell_pred = " OR ".join(f"ends_with(x, '{s}')" for s in ELLIPSIS_SUFFIXES)
+    bullet_list = ", ".join(f"'{p}'" for p in BULLET_PREFIXES)
+    sql["gopher_quality"] = (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks, "
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws, "
+        f"{duck_lines} AS lines FROM documents), "
+        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, "
+        f" {duck_charsum('toks')} AS tok_chars, "
+        " CAST(len(ws) AS BIGINT) AS n_ws, "
+        " CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha, "
+        " CAST(len(lines) AS BIGINT) AS n_lines, "
+        f" CAST(len(list_filter(lines, x -> {ell_pred})) AS BIGINT) AS ell, "
+        f" CAST(len(list_filter(lines, x -> substring(x, 1, 1) IN ({bullet_list}))) AS BIGINT) AS bul, "
+        " len(list_distinct(lines)) AS n_dlines, "
+        f" {duck_charsum('lines')} AS line_chars, "
+        f" {duck_charsum('list_distinct(lines)')} AS dline_chars FROM t), "
+        "r AS (SELECT doc_id, "
+        " CAST(round(100.0 * tok_chars / greatest(n_toks, 1)) AS BIGINT) AS mean_word_len_centi, "
+        f" {duck_pm('ell', 'n_lines')} AS ellipsis_line_per_mille, "
+        f" {duck_pm('bul', 'n_lines')} AS bullet_line_per_mille, "
+        f" {duck_pm('alpha', 'n_ws')} AS alpha_word_per_mille, "
+        f" {duck_pm('n_lines - n_dlines', 'n_lines')} AS dup_line_per_mille, "
+        f" {duck_pm('line_chars - dline_chars', 'line_chars')} AS dup_line_char_per_mille "
+        " FROM m) "
+        "SELECT doc_id, mean_word_len_centi, ellipsis_line_per_mille, "
+        "bullet_line_per_mille, alpha_word_per_mille, dup_line_per_mille, "
+        "dup_line_char_per_mille, "
+        f"(mean_word_len_centi BETWEEN {GOPHER_MIN_MEAN_WORD_LEN_CENTI} "
+        f"AND {GOPHER_MAX_MEAN_WORD_LEN_CENTI} "
+        f"AND ellipsis_line_per_mille <= {GOPHER_MAX_ELLIPSIS_LINE_PM} "
+        f"AND bullet_line_per_mille <= {GOPHER_MAX_BULLET_LINE_PM} "
+        f"AND alpha_word_per_mille >= {GOPHER_MIN_ALPHA_WORD_PM} "
+        f"AND dup_line_per_mille <= {GOPHER_MAX_DUP_LINE_PM} "
+        f"AND dup_line_char_per_mille <= {GOPHER_MAX_DUP_LINE_CHAR_PM}) AS keep FROM r"
+    )
+
+    sql["top_bigram"] = (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "g AS (SELECT doc_id, len(toks) - 1 AS n_bigrams, "
+        " list_transform(generate_series(1, len(toks) - 1), "
+        "  i -> toks[i] || ' ' || toks[i + 1]) AS bigrams "
+        " FROM t WHERE len(toks) >= 2), "
+        "e AS (SELECT doc_id, n_bigrams, unnest(bigrams) AS bigram FROM g), "
+        "c AS (SELECT doc_id, bigram, max(n_bigrams) AS n_bigrams, "
+        " count(*) AS occurrences FROM e GROUP BY doc_id, bigram), "
+        "r AS (SELECT doc_id, bigram, occurrences, n_bigrams, row_number() OVER "
+        " (PARTITION BY doc_id ORDER BY occurrences DESC, bigram) AS rn FROM c) "
+        "SELECT doc_id, bigram, CAST(occurrences AS BIGINT) AS occurrences, "
+        f"{duck_pm('occurrences', 'n_bigrams')} AS top_per_mille FROM r WHERE rn = 1"
+    )
 
     sql["ann_topk"] = (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "

@@ -28,6 +28,9 @@ CORPUS_QUERIES = [
     "quality_scores",
     "token_counts",
     "fingerprints",
+    "repetition_stats",
+    "gopher_quality",
+    "top_bigram",
     "ann_topk",
     "token_rollup",
     "page_explode",

@@ -1,0 +1,73 @@
+"""Value-checked unit tests for the Gopher/C4-style repetition and
+quality filters (operators/textstats.py) — hand-computed expectations
+on tiny documents, independent of the DuckDB twin (parity alone cannot
+catch a bug mirrored into the oracle)."""
+
+import pytest
+
+from typhoon_ocr_spark.operators import textstats
+
+DOC_MIXED = "a line\na line\nunique one two three\n\n- bullet\nwaiting...\n"
+DOC_LOOP = "one two one two one two"
+DOC_EMPTY = ""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC_MIXED), (2, DOC_LOOP), (3, DOC_EMPTY), (4, "hello")],
+        "doc_id long, text string",
+    )
+
+
+def _by_id(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_values(docs):
+    rows = _by_id(textstats.repetition_stats(docs))
+    r1 = rows[1]
+    # lines: ["a line","a line","unique one two three","- bullet","waiting..."]
+    assert r1["n_lines"] == 5
+    assert r1["dup_line_per_mille"] == 200  # 1 duplicate of 5
+    # chars 6+6+20+8+10=50, distinct 44 -> 120 per-mille duplicated
+    assert r1["dup_line_char_per_mille"] == 120
+    assert r1["n_paras"] == 2
+    assert r1["dup_para_per_mille"] == 0
+    r3 = rows[3]
+    assert r3["n_lines"] == 0
+    assert r3["dup_line_per_mille"] == 0
+    assert r3["dup_line_char_per_mille"] == 0
+
+
+def test_gopher_quality_values(docs):
+    rows = _by_id(textstats.gopher_quality(docs))
+    r1 = rows[1]
+    # 10 word tokens, 40 token chars -> mean 4.00 chars
+    assert r1["mean_word_len_centi"] == 400
+    assert r1["ellipsis_line_per_mille"] == 200  # "waiting..." of 5 lines
+    assert r1["bullet_line_per_mille"] == 200  # "- bullet"
+    # ws tokens: 11, all but "-" contain a letter
+    assert r1["alpha_word_per_mille"] == 909
+    assert r1["dup_line_per_mille"] == 200
+    assert r1["dup_line_char_per_mille"] == 120
+    assert r1["keep"] is True
+    r2 = rows[2]
+    assert r2["mean_word_len_centi"] == 300  # boundary: still kept
+    assert r2["alpha_word_per_mille"] == 1000
+    assert r2["keep"] is True
+    r3 = rows[3]
+    assert r3["mean_word_len_centi"] == 0
+    assert r3["keep"] is False  # empty doc fails the word-length window
+
+
+def test_top_bigram_values(docs):
+    rows = _by_id(textstats.top_bigram(docs))
+    # doc 3 (no tokens) and doc 4 (single token) have no bigram
+    assert set(rows) == {1, 2}
+    assert rows[1]["bigram"] == "a line"
+    assert rows[1]["occurrences"] == 2
+    assert rows[1]["top_per_mille"] == 222  # 2 of 9 bigrams
+    assert rows[2]["bigram"] == "one two"
+    assert rows[2]["occurrences"] == 3
+    assert rows[2]["top_per_mille"] == 600  # 3 of 5 bigrams

@@ -74,6 +74,25 @@ def simhash_segment_bounds() -> list:
 # Character shingle width for document fingerprinting.
 FINGERPRINT_NGRAM = 8
 
+# Line / paragraph segmentation for the Gopher/C4-style repetition and
+# quality filters (regex on BOTH sides: Spark split() and DuckDB
+# string_split_regex interpret these identically).
+LINE_SPLIT_PATTERN = r"\n"
+PARA_SPLIT_PATTERN = r"\n\s*\n"
+
+# Gopher-style quality-gate thresholds (Rae et al. 2021, table A1
+# flavor; exact values frozen here as the oracle contract).
+# mean word length must sit in [3, 10] chars (stored as centi-chars).
+GOPHER_MIN_MEAN_WORD_LEN_CENTI = 300
+GOPHER_MAX_MEAN_WORD_LEN_CENTI = 1000
+GOPHER_MAX_ELLIPSIS_LINE_PM = 300   # <=30% of lines end in an ellipsis
+GOPHER_MAX_BULLET_LINE_PM = 900     # <=90% of lines start with a bullet
+GOPHER_MIN_ALPHA_WORD_PM = 600      # >=60% of words contain a letter
+GOPHER_MAX_DUP_LINE_PM = 300        # <=30% duplicate lines
+GOPHER_MAX_DUP_LINE_CHAR_PM = 200   # <=20% of chars in duplicate lines
+BULLET_PREFIXES = ("-", "*", "•")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
 # URL splitter: (1) scheme, (2) host[:port], (3) path, (4) ?query,
 # (5) #fragment. Java-regex and RE2 compatible (no lookaround), shared
 # by operators/weburl.py and the DuckDB oracle twins.

@@ -9,12 +9,25 @@ BIGINTs, hashes as md5 hex strings (see functions/textsql.py).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textsql import (
     BPE_TOKEN_PATTERN,
+    BULLET_PREFIXES,
+    ELLIPSIS_SUFFIXES,
     FINGERPRINT_NGRAM,
+    GOPHER_MAX_BULLET_LINE_PM,
+    GOPHER_MAX_DUP_LINE_CHAR_PM,
+    GOPHER_MAX_DUP_LINE_PM,
+    GOPHER_MAX_ELLIPSIS_LINE_PM,
+    GOPHER_MAX_MEAN_WORD_LEN_CENTI,
+    GOPHER_MIN_ALPHA_WORD_PM,
+    GOPHER_MIN_MEAN_WORD_LEN_CENTI,
+    LINE_SPLIT_PATTERN,
+    PARA_SPLIT_PATTERN,
     PUNCT_CLASS,
     STOPWORDS,
     THAI_NEGATED_CLASS,
@@ -79,6 +92,202 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ).cast("long")
     bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
     return documents.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def _nonempty_lines(text: Column, pattern: str = LINE_SPLIT_PATTERN) -> Column:
+    """Trimmed, non-empty segments of ``text`` split on ``pattern``."""
+    return F.filter(
+        F.transform(F.split(text, pattern), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _charsum(arr: Column) -> Column:
+    """Total characters across a string array (0 for empty arrays —
+    mirrored by coalesce(...,0) in the DuckDB twin)."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-line fraction,
+    fraction of characters inside duplicate line occurrences, and
+    duplicate-paragraph fraction (paragraphs = blank-line-separated).
+    Pure column expressions, map-only — no shuffle, scales linearly.
+    Output: (doc_id, n_lines, dup_line_per_mille,
+    dup_line_char_per_mille, n_paras, dup_para_per_mille)."""
+    text = F.col(text_col)
+    # Generate barriers: (1) materialize the two split arrays once,
+    # (2) materialize array_distinct once for its two consumers
+    # (size + charsum) — the HOF-recompute guard used repo-wide.
+    a = documents.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    _nonempty_lines(text).alias("lines"),
+                    _nonempty_lines(text, PARA_SPLIT_PATTERN).alias("paras"),
+                )
+            )
+        ).alias("a"),
+    )
+    b = a.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a.lines").alias("lines"),
+                    F.array_distinct("a.lines").alias("dlines"),
+                    F.size("a.paras").cast("long").alias("n_paras"),
+                    F.size(F.array_distinct("a.paras")).cast("long").alias("n_dparas"),
+                )
+            )
+        ).alias("b"),
+    )
+    n_lines = F.size("b.lines").cast("long")
+    n_dlines = F.size("b.dlines").cast("long")
+    line_chars = _charsum(F.col("b.lines"))
+    dline_chars = _charsum(F.col("b.dlines"))
+    return b.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        _per_mille(n_lines - n_dlines, n_lines).alias("dup_line_per_mille"),
+        _per_mille(line_chars - dline_chars, line_chars).alias("dup_line_char_per_mille"),
+        F.col("b.n_paras").alias("n_paras"),
+        _per_mille(
+            F.col("b.n_paras") - F.col("b.n_dparas"), F.col("b.n_paras")
+        ).alias("dup_para_per_mille"),
+    )
+
+
+def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule quality gate (Rae et al. 2021 flavor; thresholds
+    frozen in functions/textsql.py): mean word length window,
+    ellipsis-line and bullet-line caps, minimum alphabetic-word
+    fraction, duplicate-line caps. Map-only column expressions.
+    Output: (doc_id, mean_word_len_centi, ellipsis_line_per_mille,
+    bullet_line_per_mille, alpha_word_per_mille, dup_line_per_mille,
+    dup_line_char_per_mille, keep)."""
+    text = F.col(text_col)
+    ws = F.filter(F.split(text, WS_SPLIT_PATTERN), lambda x: x != F.lit(""))
+    a = documents.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    word_tokens(text).alias("toks"),
+                    ws.alias("ws"),
+                    _nonempty_lines(text).alias("lines"),
+                )
+            )
+        ).alias("a"),
+    )
+    b = a.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a.toks").alias("toks"),
+                    F.col("a.ws").alias("ws"),
+                    F.col("a.lines").alias("lines"),
+                    F.array_distinct("a.lines").alias("dlines"),
+                )
+            )
+        ).alias("b"),
+    )
+    n_toks = F.size("b.toks").cast("long")
+    n_ws = F.size("b.ws").cast("long")
+    n_lines = F.size("b.lines").cast("long")
+    line_chars = _charsum(F.col("b.lines"))
+    dline_chars = _charsum(F.col("b.dlines"))
+    mean_centi = F.round(
+        F.lit(100.0) * _charsum(F.col("b.toks")) / F.greatest(n_toks, F.lit(1))
+    ).cast("long")
+    ellipsis = F.size(
+        F.filter(
+            F.col("b.lines"),
+            lambda x: functools.reduce(
+                lambda p, q: p | q, [x.endswith(s) for s in ELLIPSIS_SUFFIXES]
+            ),
+        )
+    ).cast("long")
+    bullet = F.size(
+        F.filter(F.col("b.lines"), lambda x: x.substr(1, 1).isin(*BULLET_PREFIXES))
+    ).cast("long")
+    alpha = F.size(
+        F.filter(F.col("b.ws"), lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    ellipsis_pm = _per_mille(ellipsis, n_lines)
+    bullet_pm = _per_mille(bullet, n_lines)
+    alpha_pm = _per_mille(alpha, n_ws)
+    dup_line_pm = _per_mille(n_lines - F.size("b.dlines").cast("long"), n_lines)
+    dup_char_pm = _per_mille(line_chars - dline_chars, line_chars)
+    return b.select(
+        "doc_id",
+        mean_centi.alias("mean_word_len_centi"),
+        ellipsis_pm.alias("ellipsis_line_per_mille"),
+        bullet_pm.alias("bullet_line_per_mille"),
+        alpha_pm.alias("alpha_word_per_mille"),
+        dup_line_pm.alias("dup_line_per_mille"),
+        dup_char_pm.alias("dup_line_char_per_mille"),
+        (
+            (mean_centi >= GOPHER_MIN_MEAN_WORD_LEN_CENTI)
+            & (mean_centi <= GOPHER_MAX_MEAN_WORD_LEN_CENTI)
+            & (ellipsis_pm <= GOPHER_MAX_ELLIPSIS_LINE_PM)
+            & (bullet_pm <= GOPHER_MAX_BULLET_LINE_PM)
+            & (alpha_pm >= GOPHER_MIN_ALPHA_WORD_PM)
+            & (dup_line_pm <= GOPHER_MAX_DUP_LINE_PM)
+            & (dup_char_pm <= GOPHER_MAX_DUP_LINE_CHAR_PM)
+        ).alias("keep"),
+    )
+
+
+def top_bigram(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Most frequent word 2-gram per document and its share of all
+    bigram occurrences (the Gopher top-n-gram repetition signal).
+    Docs with <2 word tokens have no bigram and are omitted. Shape at
+    scale: one explode + partial-agg groupBy on (doc_id, bigram), then
+    a doc_id-partitioned window on the already-shuffled frame — a
+    single exchange, no joins. Ties break on the bigram string.
+    Output: (doc_id, bigram, occurrences, top_per_mille)."""
+    from pyspark.sql import Window
+
+    toks = word_tokens(F.col(text_col))
+    t = documents.select(
+        "doc_id", F.explode(F.array(toks)).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), (i + F.lit(1)).cast("int")),
+        ),
+    )
+    rows = t.select(
+        "doc_id",
+        (F.size("toks") - 1).cast("long").alias("n_bigrams"),
+        F.explode(grams).alias("bigram"),
+    )
+    counts = rows.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("occurrences"), F.max("n_bigrams").alias("n_bigrams")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("occurrences"), F.asc("bigram")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "bigram",
+            F.col("occurrences").cast("long").alias("occurrences"),
+            _per_mille(F.col("occurrences"), F.col("n_bigrams")).alias(
+                "top_per_mille"
+            ),
+        )
+    )
 
 
 def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
