@@ -353,6 +353,9 @@ def main() -> None:
     timed("quality_lang", lambda: textstats.quality_scores(documents)
           .join(textstats.language_id(documents), "doc_id")
           .agg({"n_chars": "sum"}).collect())
+    timed("gopher_filters", lambda: textstats.gopher_quality(documents)
+          .filter("keep").count())
+    timed("top_bigram", lambda: textstats.top_bigram(documents).count())
     timed("pricing_rollup", lambda: relational.pricing_rollup(lineitem).collect())
     timed("events_hourly", lambda: relational.events_hourly(events).count())
 
