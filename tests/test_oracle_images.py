@@ -109,8 +109,14 @@ def test_decode_media_codecs_real_webp_loud():
     assert (w, h, ch) == (9, 4, 3) and len(px) == 108
     w, h, ch, px = decode_media(write_jpeg(9, 4, seed=1), "jpeg")
     assert (w, h, ch) == (9, 4, 1) and len(px) == 36
-    with pytest.raises(NotImplementedError):
-        decode_media(write_webp(5, 5), "webp")
+    # even seed -> real VP8L lossless decode (RGBA)
+    w, h, ch, px = decode_media(write_webp(5, 5, seed=2), "webp")
+    assert (w, h, ch) == (5, 5, 4) and len(px) == 100
+    # odd seed -> VP8X shell (lossy stand-in): loud ImageError, not junk
+    from typhoon_ocr_spark.oracle.images import ImageError
+
+    with pytest.raises(ImageError):
+        decode_media(write_webp(5, 5, seed=3), "webp")
 
 
 def test_gif_lzw_round_trip_pixel_exact():
@@ -294,28 +300,35 @@ def test_resize_image_payload_real_pixels():
 
 def test_resize_images_operator(spark):
     """The Spark surface: image rows resize for real (PNG payload out),
-    under-threshold rows keep no new payload, WebP rows become error
-    rows — never task failures."""
+    under-threshold rows keep no new payload, lossless-WebP rows
+    resize for real, lossy-WebP (VP8X) rows become error rows — never
+    task failures."""
     from typhoon_ocr_spark.oracle.images import decode_png, write_jpeg, write_webp
     from typhoon_ocr_spark.operators.multimodal import resize_images
 
     rows = [
         ("u-big", bytearray(write_jpeg(310, 150, seed=6))),
         ("u-small", bytearray(write_png(40, 20, seed=6))),
-        ("u-webp", bytearray(write_webp(400, 300))),
+        ("u-vp8l", bytearray(write_webp(400, 300, seed=2))),
+        ("u-vp8x", bytearray(write_webp(400, 300, seed=3))),
         ("u-html", bytearray(b"<html><body>x</body></html>")),
     ]
     df = spark.createDataFrame(rows, "url string, html binary")
     got = {r["url"]: r.asDict() for r in resize_images(df, max_size=64).collect()}
-    assert set(got) == {"u-big", "u-small", "u-webp"}
+    assert set(got) == {"u-big", "u-small", "u-vp8l", "u-vp8x"}
     big = got["u-big"]
     assert (big["new_width"], big["new_height"]) == (64, int(150 * 64 / 310))
     dw, dh, ch, _ = decode_png(bytes(big["resized_png"]))
     assert (dw, dh, ch) == (big["new_width"], big["new_height"], 1)
     assert big["error"] is None
     assert got["u-small"]["resized_png"] is None and got["u-small"]["error"] is None
-    assert got["u-webp"]["resized_png"] is None and got["u-webp"]["error"]
-    assert got["u-webp"]["width"] == 400  # header dims still reported
+    vp8l = got["u-vp8l"]
+    assert vp8l["error"] is None and (vp8l["new_width"], vp8l["new_height"]) == (64, 48)
+    dw, dh, ch, _ = decode_png(bytes(vp8l["resized_png"]))
+    assert (dw, dh, ch) == (64, 48, 3)  # alpha plane stripped pre-encode
+    vp8x = got["u-vp8x"]
+    assert vp8x["resized_png"] is None and vp8x["error"]
+    assert vp8x["width"] == 400  # header dims still reported
 
 
 def test_truncated_bodies_decode_error_not_crash():
@@ -340,16 +353,17 @@ def test_media_features_real_for_decodable_fake_otherwise(spark):
         (1, bytearray(write_png(16, 16, seed=7))),
         (2, bytearray(write_gif(16, 16, seed=7))),
         (3, bytearray(b"not an image at all, just text bytes")),
-        (4, bytearray(write_webp(16, 16))),
+        (4, bytearray(write_webp(16, 16, seed=2))),  # VP8L: decodes now
+        (5, bytearray(write_webp(16, 16, seed=3))),  # VP8X: lossy stand-in
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     got = {r["media_id"]: list(r["features"]) for r in
            extract_media_features(df).collect()}
-    for mid in (1, 2):
+    for mid in (1, 2, 4):
         f = got[mid]
         assert f[-1] == 1.0  # real-decode marker
         assert 0.0 <= f[0] <= 1.0 and f[2] == 1.0  # mean, square aspect
-    for mid in (3, 4):  # text + WebP: sha fake, marker absent
+    for mid in (3, 5):  # text + lossy WebP: sha fake, marker absent
         assert got[mid][-1] != 1.0
 
 
@@ -360,20 +374,23 @@ def test_image_pixel_stats_operator(spark):
         ("u-png", bytearray(write_png(20, 10, seed=2))),
         ("u-gif", bytearray(write_gif(64, 32))),
         ("u-jpg", bytearray(write_jpeg(24, 16))),
-        ("u-webp", bytearray(write_webp(30, 20))),
+        ("u-vp8l", bytearray(write_webp(30, 20, seed=2))),
+        ("u-vp8x", bytearray(write_webp(30, 20, seed=3))),
         ("u-html", bytearray(b"<html><body>x</body></html>")),
     ]
     df = spark.createDataFrame(rows, "url string, html binary")
     got = {r["url"]: r.asDict() for r in image_pixel_stats(df).collect()}
-    assert set(got) == {"u-png", "u-gif", "u-jpg", "u-webp"}
+    assert set(got) == {"u-png", "u-gif", "u-jpg", "u-vp8l", "u-vp8x"}
     assert got["u-png"]["decoded"] == "real"
     assert got["u-png"]["n_samples"] == 200
     assert got["u-gif"]["decoded"] == "real"
     assert got["u-gif"]["n_samples"] == 64 * 32 * 3
     assert got["u-jpg"]["decoded"] == "real"
     assert got["u-jpg"]["n_samples"] == 24 * 16
-    assert got["u-webp"]["decoded"] == "header-only"
-    assert got["u-webp"]["width"] == 30 and got["u-webp"]["n_samples"] is None
+    assert got["u-vp8l"]["decoded"] == "real"
+    assert got["u-vp8l"]["n_samples"] == 30 * 20 * 4  # RGBA
+    assert got["u-vp8x"]["decoded"] == "header-only"
+    assert got["u-vp8x"]["width"] == 30 and got["u-vp8x"]["n_samples"] is None
 
 
 def test_palette_png_is_decode_error_row_not_task_failure(spark):
@@ -401,3 +418,192 @@ def test_palette_png_is_decode_error_row_not_task_failure(spark):
     assert row["decoded"] == "decode-error"
     assert (row["width"], row["height"]) == (4, 4)
     assert row["n_samples"] is None
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) codec
+# ---------------------------------------------------------------------------
+
+def _vp8l_header_bits(bw, width, height):
+    bw.write(0x2F, 8)
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+
+def test_vp8l_round_trip_pixel_exact():
+    from typhoon_ocr_spark.oracle.images import (
+        _vp8l_palette,
+        _vp8l_pattern_bits,
+        decode_image,
+        write_webp_lossless,
+    )
+
+    for seed in (0, 4, 10):
+        # non-multiple-of-8 widths exercise bit alignment
+        data = write_webp_lossless(13, 7, seed=seed)
+        w, h, ch, px = decode_image(data)
+        assert (w, h, ch) == (13, 7, 4)
+        gp, rp, bp = _vp8l_palette(seed)
+        for y in range(7):
+            for x in range(13):
+                g, r, b = _vp8l_pattern_bits(x, y, seed)
+                i = 4 * (y * 13 + x)
+                assert tuple(px[i : i + 4]) == (rp[r], gp[g], bp[b], 255), (x, y)
+
+
+def test_vp8l_truncated_is_image_error():
+    from typhoon_ocr_spark.oracle.images import (
+        ImageError,
+        decode_image,
+        write_webp_lossless,
+    )
+
+    data = write_webp_lossless(40, 40, seed=2)
+    with pytest.raises(ImageError):
+        decode_image(data[:40])
+
+
+def test_vp8l_transform_rejected_loudly():
+    from typhoon_ocr_spark.oracle.images import (
+        ImageError,
+        _Vp8lBitWriter,
+        _vp8l_container,
+        decode_image,
+    )
+
+    bw = _Vp8lBitWriter()
+    _vp8l_header_bits(bw, 4, 4)
+    bw.write(1, 1)  # transform present -> documented unsupported subset
+    bw.write(2, 2)  # SUBTRACT_GREEN
+    with pytest.raises(ImageError, match="transform"):
+        decode_image(_vp8l_container(bw.finish()))
+
+
+def test_vp8l_lz77_backreference_and_normal_prefix_code():
+    """Hand-assembled stream: a NORMAL (code-length-coded) green prefix
+    code with three symbols (greens 100 and 120, plus length-code 259)
+    and an LZ77 back-reference (length 4, plain distance 4 = code 124)
+    that copies the first four pixels."""
+    from typhoon_ocr_spark.oracle.images import (
+        _Vp8lBitWriter,
+        _vp8l_container,
+        decode_image,
+    )
+
+    bw = _Vp8lBitWriter()
+    _vp8l_header_bits(bw, 4, 2)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+
+    # GREEN: normal code. Code-length code over (17,18,0,1,2):
+    # lengths 18->2, 1->1, 2->2 (CLC canonical: 1->"0", 2->"10", 18->"11")
+    bw.write(0, 1)  # not simple
+    bw.write(1, 4)  # num_codes = 5
+    for ln in (0, 2, 0, 1, 2):  # order 17,18,0,1,2
+        bw.write(ln, 3)
+    bw.write(0, 1)  # no explicit max_symbol
+
+    def clc_1():  # code "0"
+        bw.write(0, 1)
+
+    def clc_2():  # code "10"
+        bw.write(1, 1)
+        bw.write(0, 1)
+
+    def clc_18(repeat):  # code "11" + 7 extra bits (11 + extra zeros)
+        bw.write(1, 1)
+        bw.write(1, 1)
+        bw.write(repeat - 11, 7)
+
+    clc_18(100)  # symbols 0..99 -> length 0
+    clc_1()      # symbol 100 -> length 1
+    clc_18(19)   # 101..119 -> 0
+    clc_2()      # symbol 120 -> length 2
+    clc_18(138)  # 121..258 -> 0
+    clc_2()      # symbol 259 (length code 3 -> copy length 4) -> length 2
+    clc_18(20)   # 260..279 -> 0
+    # green canonical codes: 100->"0", 120->"10", 259->"11"
+
+    # RED / BLUE / ALPHA: single-symbol simple codes (0 bits per use)
+    bw.simple1(10)
+    bw.simple1(20)
+    bw.simple1(255)
+    # DISTANCE: single symbol 13 (-> 5 extra bits; 27 => dist_code 124)
+    bw.simple1(13)
+
+    # pixels: literals green 100,120,100,120 then backref(len 4, dist 4)
+    for code_bits in ((0,), (1, 0), (0,), (1, 0)):
+        for bit in code_bits:
+            bw.write(bit, 1)
+    bw.write(1, 1)  # green "11" -> symbol 259
+    bw.write(1, 1)
+    bw.write(27, 5)  # distance extra bits: 96 + 27 + 1 = 124 -> dist 4
+
+    w, h, ch, px = decode_image(_vp8l_container(bw.finish()))
+    assert (w, h, ch) == (4, 2, 4)
+    greens = [px[4 * i + 1] for i in range(8)]
+    assert greens == [100, 120, 100, 120, 100, 120, 100, 120]
+    assert all(px[4 * i] == 10 and px[4 * i + 2] == 20 for i in range(8))
+
+
+
+
+def test_vp8l_color_cache_hit():
+    """Literal pixel, then a color-cache symbol re-emitting it. The
+    green alphabet grows to 296 (256 + 24 + 2^4 cache entries); the
+    cache symbol (>255) needs a normal code, built here with the
+    explicit max_symbol shortcut."""
+    from typhoon_ocr_spark.oracle.images import (
+        _VP8L_CACHE_MULT,
+        _Vp8lBitWriter,
+        _vp8l_container,
+        decode_image,
+    )
+
+    cache_bits = 4
+    argb = (255 << 24) | (10 << 16) | (100 << 8) | 20
+    idx = (_VP8L_CACHE_MULT * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+    cache_sym = 280 + idx
+
+    bw = _Vp8lBitWriter()
+    _vp8l_header_bits(bw, 2, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta prefix
+    # GREEN: normal code, lengths 100->1 and cache_sym->1.
+    # CLC over order (17,18,0,1): lengths 18->1, 1->1
+    # (canonical: symbol 1 -> "0", symbol 18 -> "1")
+    bw.write(0, 1)  # not simple
+    bw.write(0, 4)  # num_codes = 4
+    for ln in (0, 1, 0, 1):  # order 17,18,0,1
+        bw.write(ln, 3)
+    bw.write(1, 1)  # explicit max_symbol
+    bw.write(3, 3)  # length_nbits = 2 + 2*3 = 8
+    bw.write(3, 8)  # max_symbol = 2 + 3 = 5 code-length reads
+    # reads: 18(repeat 100), 1, 18(repeat 138), 18(repeat cache_sym-239), 1
+    bw.write(1, 1)          # 18
+    bw.write(100 - 11, 7)
+    bw.write(0, 1)          # 1 -> green symbol 100 gets length 1
+    bw.write(1, 1)          # 18
+    bw.write(138 - 11, 7)
+    bw.write(1, 1)          # 18: zeros from 239 to cache_sym-1
+    bw.write((cache_sym - 239) - 11, 7)
+    bw.write(0, 1)          # 1 -> cache_sym gets length 1
+    # green canonical: 100 -> "0", cache_sym -> "1"
+
+    bw.simple1(10)   # red
+    bw.simple1(20)   # blue
+    bw.simple1(255)  # alpha
+    bw.simple1(13)   # distance (unused)
+
+    bw.write(0, 1)  # literal: green 100 (+ 0-bit red/blue/alpha)
+    bw.write(1, 1)  # cache hit -> same ARGB again
+
+    w, h, ch, px = decode_image(_vp8l_container(bw.finish()))
+    assert (w, h, ch) == (2, 1, 4)
+    assert tuple(px[0:4]) == (10, 100, 20, 255)
+    assert tuple(px[4:8]) == tuple(px[0:4])

@@ -1,9 +1,10 @@
 """Multimodal column operators: image/audio/video as opaque BINARY +
 typed metadata.
 
-Image DECODE is real for PNG/GIF/baseline-JPEG (pure-stdlib codecs in
-oracle/images.py); WebP and the audio/video FEATURE step remain
-clearly-marked stubs (a VP8/audio codec is out of scope in-sandbox) —
+Image DECODE is real for PNG/GIF/baseline-JPEG/WebP-lossless
+(pure-stdlib codecs in oracle/images.py); lossy WebP and the
+audio/video FEATURE step remain clearly-marked stubs (a VP8/audio
+codec is out of scope in-sandbox) —
 the Spark-side plumbing around both is real and tested: schemas,
 mapInPandas batch shape, Arrow-safe binary handling, and the native
 dimension/frame arithmetic (which follows the reference's resize rule,
@@ -91,7 +92,7 @@ def frame_sample_indices(duration_ms: Column, fps: float = 1.0) -> Column:
 
 def _fake_decode_features(payload: bytes) -> list:
     """DETERMINISTIC FAKE for payloads with no in-sandbox decoder
-    (audio/video/WebP/plain bytes): FEATURE_DIM pseudo-statistics from
+    (audio/video/lossy-WebP/plain bytes): FEATURE_DIM pseudo-statistics from
     sha256 of the payload. Swap for a real decoder (PIL/ffmpeg) by
     replacing this one function; the Spark plumbing is unchanged."""
     digest = hashlib.sha256(payload).digest()
@@ -102,8 +103,8 @@ def _fake_decode_features(payload: bytes) -> list:
 
 
 def _decode_features(payload: bytes) -> list:
-    """REAL features when the payload decodes (PNG/GIF/baseline JPEG —
-    oracle/images codecs): [mean, spread, aspect, 4 quadrant means,
+    """REAL features when the payload decodes (PNG/GIF/baseline JPEG/
+    WebP-lossless — oracle/images codecs): [mean, spread, aspect, 4 quadrant means,
     1.0-marker], all in [0, 1]. Undecodable payloads fall back to the
     clearly-marked sha-derived fake (last element 0-ish, marker absent)."""
     from ..oracle.images import ImageError, decode_image
@@ -134,19 +135,20 @@ def _decode_features(payload: bytes) -> list:
 
 def decode_media(payload: bytes, fmt: str):
     """The real decode hook. PNG (stdlib zlib + row unfiltering), GIF
-    (full LZW + palette), and baseline JPEG (Huffman + dequant + IDCT)
-    decode for real — oracle/images. WebP needs a VP8 entropy codec
-    absent from this container and stays a loud stub — swap in
-    PIL/ffmpeg here on a real deployment, the Spark plumbing is
-    unchanged."""
+    (full LZW + palette), baseline JPEG (Huffman + dequant + IDCT) and
+    lossless WebP (VP8L prefix codes + LZ77) decode for real —
+    oracle/images. Lossy WebP needs a VP8 entropy codec (video) and
+    raises ImageError from the decoder; audio/video formats stay a
+    loud stub — swap in PIL/ffmpeg here on a real deployment, the
+    Spark plumbing is unchanged."""
     from ..oracle.images import decode_image, sniff_image_kind
 
     kind = fmt if fmt in ("png", "jpeg", "gif", "webp") else sniff_image_kind(payload)
-    if kind in ("png", "gif", "jpeg"):
+    if kind in ("png", "gif", "jpeg", "webp"):
         return decode_image(payload)
     raise NotImplementedError(
-        f"decoding {kind or 'unknown'} requires PIL/ffmpeg; PNG/GIF/JPEG "
-        "are the in-sandbox real-decode paths"
+        f"decoding {kind or 'unknown'} requires PIL/ffmpeg; PNG/GIF/JPEG/"
+        "WebP-lossless are the in-sandbox real-decode paths"
     )
 
 
@@ -157,8 +159,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     the iterator (bounded memory regardless of table size), only the
     needed columns enter the UDF, output conforms to FEATURE_SCHEMA.
     Feature values are REAL pixel statistics for payloads the stdlib
-    codecs decode (PNG/GIF/baseline JPEG) and a marked sha-derived fake
-    otherwise (audio/video/WebP need PIL/ffmpeg).
+    codecs decode (PNG/GIF/baseline JPEG/WebP-lossless) and a marked sha-derived fake
+    otherwise (audio/video/lossy-WebP need PIL/ffmpeg).
     Output: (media_id, payload_sha, n_bytes, features[8])."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -195,11 +197,12 @@ _IMAGE_STATS_COLS = ("img_kind", "width", "height", "n_samples",
 
 def image_pixel_stats(pages: DataFrame) -> DataFrame:
     """REAL decode over the raster rows of a pages corpus: PNG, GIF,
-    and baseline JPEG payloads decode to pixels (pure stdlib: zlib
-    inflate+unfilter / LZW+palette / Huffman+IDCT) and report
-    deterministic pixel statistics; WebP reports header dimensions with
-    decoded='header-only'; payloads whose body won't decode become
-    decoded='decode-error' rows (never task failures).
+    baseline JPEG and lossless-WebP payloads decode to pixels (pure
+    stdlib: zlib inflate+unfilter / LZW+palette / Huffman+IDCT / VP8L
+    prefix codes) and report deterministic pixel statistics; lossy
+    WebP reports header dimensions with decoded='header-only';
+    payloads whose body won't decode become decoded='decode-error'
+    rows (never task failures).
     Row semantics live in oracle/images.image_stats_row — the single
     function the fixture golden also runs. mapInPandas streams Arrow
     batches — bounded memory at any corpus size; only url+payload enter
@@ -241,7 +244,7 @@ RESIZED_SCHEMA = StructType(
 def resize_images(pages: DataFrame, max_size: int = 2048) -> DataFrame:
     """REAL pixel resize over the raster rows of a pages corpus — the
     reference's resize_if_needed (ocr_utils.py:467-494) with actual
-    resampling: decode (PNG/GIF/baseline JPEG), nearest-neighbor scale
+    resampling: decode (PNG/GIF/baseline JPEG/WebP-lossless), nearest-neighbor scale
     of the longest side to ``max_size`` when a side exceeds 300 px,
     re-encode as PNG. Images under the threshold keep their original
     payload (resized_png NULL), undecodable payloads become error rows

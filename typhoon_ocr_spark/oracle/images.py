@@ -8,13 +8,16 @@ anchor is the whole-image frame from the image's pixel dimensions
 pixels through PIL; no codec libraries exist in-sandbox, so this module
 implements the codecs directly in pure stdlib: header dimension parse
 for all four container formats, and FULL pixel decode for PNG (zlib
-inflate + row unfiltering), GIF (LZW + palette), and baseline JPEG
-(canonical Huffman + dequantize + inverse zigzag + IDCT). WebP pixel
-decode stays out of scope (VP8 is a video codec).
+inflate + row unfiltering), GIF (LZW + palette), baseline JPEG
+(canonical Huffman + dequantize + inverse zigzag + IDCT), and lossless
+WebP (VP8L prefix codes + LZ77 + color cache; the four pixel
+transforms and the 2D distance map are a documented unsupported
+subset). Lossy-WebP pixel decode stays out of scope (VP8 is a video
+codec) — those rows surface as header-only.
 
 The writers at the bottom build deterministic fixture payloads — real
-encoders for PNG/GIF/JPEG (decodable by any compliant reader), a
-header-only shell for WebP.
+encoders for PNG/GIF/JPEG/WebP-lossless (decodable by any compliant
+reader), plus a header-only VP8X shell standing in for lossy WebP.
 """
 
 from __future__ import annotations
@@ -127,9 +130,8 @@ def _webp_dimensions(data: bytes) -> Tuple[int, int]:
 #   GIF  — full LZW (variable code width, clear/EOI, 12-bit cap)
 #   JPEG — baseline DCT: segment parse, canonical Huffman, dequantize,
 #          inverse zigzag, IDCT (no chroma subsampling)
-# WebP (VP8/VP8L) stays header-only: its entropy codecs are a full
-# video-codec dependency, behind NotImplementedError in the multimodal
-# decode hook.
+#   WebP — lossless (VP8L) prefix-coded streams (see the VP8L section
+#          below); lossy VP8 stays header-only (video codec).
 # --------------------------------------------------------------------------
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+a, rgba
@@ -548,6 +550,272 @@ def _jpeg_scan(data, pos, width, height, comps, qt, huff_dc, huff_ac,
     return int(width), int(height), nc, bytes(out)
 
 
+# --------------------------------------------------------------------------
+# WebP lossless (VP8L) — RFC 9649 §3: LSB-first bitstream, canonical
+# prefix codes (deflate-style construction), optional LZ77 back-
+# references and a color cache, recursive meta prefix (entropy) images.
+# Supported subset (documented, loud): the four pixel TRANSFORMS and
+# the 120-entry 2D distance map raise ImageError; plain distances
+# (code > 120), both simple and normal prefix codes, color cache and
+# meta prefix images decode fully. Lossy VP8 stays out of scope (video
+# codec). The reference reads all of these through PIL
+# (/root/reference/backend/routes/ocr.py:75-82).
+# --------------------------------------------------------------------------
+
+_VP8L_CODE_LENGTH_ORDER = (
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15
+)
+_VP8L_CACHE_MULT = 0x1E35A7BD  # color-cache hash (RFC 9649 §3.6.2.3)
+
+
+class _Vp8lReader:
+    """LSB-first bit reader over the VP8L chunk body."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, count: int) -> int:
+        while self.n < count:
+            # IndexError on truncation -> ImageError via _safe_decode
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        val = self.acc & ((1 << count) - 1)
+        self.acc >>= count
+        self.n -= count
+        return val
+
+
+class _VP8LPrefixCode:
+    """Canonical prefix decoder (RFC 1951 §3.2.2 code construction, as
+    VP8L specifies); a single-symbol code consumes zero bits."""
+
+    __slots__ = ("table", "max_len", "single")
+
+    def __init__(self, lengths):
+        nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ImageError("VP8L: empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = None
+            self.max_len = 0
+            return
+        self.single = None
+        bl_count: dict = {}
+        for ln, _ in nz:
+            bl_count[ln] = bl_count.get(ln, 0) + 1
+        code = 0
+        next_code = {}
+        for ln in range(1, max(bl_count) + 1):
+            code = (code + bl_count.get(ln - 1, 0)) << 1
+            next_code[ln] = code
+        table = {}
+        for s, ln in enumerate(lengths):
+            if ln > 0:
+                table[(ln, next_code[ln])] = s
+                next_code[ln] += 1
+        self.table = table
+        self.max_len = max(bl_count)
+
+    @classmethod
+    def simple(cls, symbols):
+        pc = cls.__new__(cls)
+        if len(symbols) == 1:
+            pc.single, pc.table, pc.max_len = symbols[0], None, 0
+        else:
+            pc.single = None
+            pc.table = {(1, 0): symbols[0], (1, 1): symbols[1]}
+            pc.max_len = 1
+        return pc
+
+    def read(self, br: _Vp8lReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, self.max_len + 1):
+            code = (code << 1) | br.bits(1)
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ImageError("VP8L: invalid prefix code")
+
+
+def _vp8l_read_prefix_code(br: _Vp8lReader, alphabet_size: int) -> _VP8LPrefixCode:
+    if br.bits(1):  # simple code: 1 or 2 symbols stored directly
+        num_symbols = br.bits(1) + 1
+        first_is_8bit = br.bits(1)
+        syms = [br.bits(8 if first_is_8bit else 1)]
+        if num_symbols == 2:
+            syms.append(br.bits(8))
+        for s in syms:
+            if s >= alphabet_size:
+                raise ImageError("VP8L: simple-code symbol out of range")
+        return _VP8LPrefixCode.simple(syms)
+    num_codes = br.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CODE_LENGTH_ORDER[i]] = br.bits(3)
+    cl_code = _VP8LPrefixCode(cl_lengths)
+    lengths = [0] * alphabet_size
+    if br.bits(1):  # explicit max_symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        clen = cl_code.read(br)
+        if clen < 16:
+            lengths[symbol] = clen
+            symbol += 1
+            if clen:
+                prev_len = clen
+        else:
+            if clen == 16:
+                repeat, fill = 3 + br.bits(2), prev_len
+            elif clen == 17:
+                repeat, fill = 3 + br.bits(3), 0
+            else:
+                repeat, fill = 11 + br.bits(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ImageError("VP8L: code-length repeat overflow")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _VP8LPrefixCode(lengths)
+
+
+def _vp8l_lz77_value(br: _Vp8lReader, code: int) -> int:
+    """Length/distance prefix decoding (RFC 9649 §3.6.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _vp8l_decode_pixels(br: _Vp8lReader, width: int, height: int, level0: bool):
+    """Decode one spatially-coded image stream to a list of ARGB ints."""
+    if level0 and br.bits(1):
+        raise ImageError("VP8L transform unsupported (subset decoder)")
+    cache = None
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ImageError("VP8L: bad color-cache size")
+        cache = [0] * (1 << cache_bits)
+    meta = None
+    meta_prec = meta_w = 0
+    num_groups = 1
+    if level0 and br.bits(1):  # meta prefix codes via an entropy image
+        meta_prec = br.bits(3) + 2
+        meta_w = (width + (1 << meta_prec) - 1) >> meta_prec
+        meta_h = (height + (1 << meta_prec) - 1) >> meta_prec
+        entropy = _vp8l_decode_pixels(br, meta_w, meta_h, False)
+        meta = [(p >> 8) & 0xFFFF for p in entropy]
+        num_groups = max(meta) + 1
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            tuple(
+                _vp8l_read_prefix_code(br, size)
+                for size in (green_alpha, 256, 256, 256, 40)
+            )
+        )
+    pix = [0] * (width * height)
+    npix = width * height
+    pos = 0
+    cache_shift = 32 - cache_bits if cache_bits else 0
+    while pos < npix:
+        if meta is None:
+            gc, rc, bc, ac, dc = groups[0]
+        else:
+            mi = meta[
+                ((pos // width) >> meta_prec) * meta_w + ((pos % width) >> meta_prec)
+            ]
+            gc, rc, bc, ac, dc = groups[mi]
+        sym = gc.read(br)
+        if sym < 256:  # literal: green, then red, blue, alpha
+            val = (
+                (ac.read(br) << 24) | (rc.read(br) << 16) | (sym << 8) | bc.read(br)
+            )
+            pix[pos] = val
+            if cache is not None:
+                cache[(_VP8L_CACHE_MULT * val & 0xFFFFFFFF) >> cache_shift] = val
+            pos += 1
+        elif sym < 280:  # LZ77 back-reference
+            length = _vp8l_lz77_value(br, sym - 256)
+            dist_code = _vp8l_lz77_value(br, dc.read(br))
+            if dist_code <= 120:
+                raise ImageError(
+                    "VP8L 2D distance map unsupported (subset decoder)"
+                )
+            dist = dist_code - 120
+            if dist > pos:
+                raise ImageError("VP8L: back-reference before image start")
+            if pos + length > npix:
+                raise ImageError("VP8L: back-reference overflows image")
+            for _ in range(length):
+                val = pix[pos - dist]
+                pix[pos] = val
+                if cache is not None:
+                    cache[(_VP8L_CACHE_MULT * val & 0xFFFFFFFF) >> cache_shift] = val
+                pos += 1
+        else:  # color-cache hit
+            if cache is None:
+                raise ImageError("VP8L: cache symbol without color cache")
+            pix[pos] = cache[sym - 280]
+            pos += 1
+    return pix
+
+
+def webp_is_lossless(payload: bytes) -> bool:
+    """True when the container's first chunk is a VP8L bitstream."""
+    data = bytes(payload)
+    return len(data) >= 16 and data[12:16] == b"VP8L"
+
+
+def decode_webp(data: bytes) -> Tuple[int, int, int, bytes]:
+    """(width, height, 4, RGBA pixels) for lossless (VP8L) WebP.
+    ImageError for lossy/extended containers (VP8 entropy coding is a
+    video codec, out of scope) and malformed streams."""
+    if data[12:16] != b"VP8L":
+        raise ImageError(
+            "WebP lossy/extended pixel decode unsupported (VP8 is a video codec)"
+        )
+    size = struct.unpack("<I", data[16:20])[0]
+    body = data[20 : 20 + size]
+    if len(body) < 5:
+        raise ImageError("VP8L: truncated chunk")
+    br = _Vp8lReader(body)
+    if br.bits(8) != 0x2F:
+        raise ImageError("VP8L: signature byte missing")
+    width = br.bits(14) + 1
+    height = br.bits(14) + 1
+    br.bits(1)  # alpha hint (informational)
+    if br.bits(3) != 0:
+        raise ImageError("VP8L: unknown version")
+    pix = _vp8l_decode_pixels(br, width, height, True)
+    out = bytearray(width * height * 4)
+    for i, v in enumerate(pix):
+        j = 4 * i
+        out[j] = (v >> 16) & 0xFF
+        out[j + 1] = (v >> 8) & 0xFF
+        out[j + 2] = v & 0xFF
+        out[j + 3] = (v >> 24) & 0xFF
+    return width, height, 4, bytes(out)
+
+
 def _safe_decode(dec, payload: bytes) -> Tuple[int, int, int, bytes]:
     """Run a decoder, normalizing every malformed-payload failure mode
     (short reads → struct.error/IndexError, empty sequences →
@@ -561,13 +829,18 @@ def _safe_decode(dec, payload: bytes) -> Tuple[int, int, int, bytes]:
         raise ImageError(f"malformed payload: {exc}") from exc
 
 
-_DECODERS = {"png": decode_png, "gif": decode_gif, "jpeg": decode_jpeg}
+_DECODERS = {
+    "png": decode_png,
+    "gif": decode_gif,
+    "jpeg": decode_jpeg,
+    "webp": decode_webp,
+}
 
 
 def decode_image(payload: bytes) -> Tuple[int, int, int, bytes]:
     """(width, height, channels, pixels) via the real stdlib decoder
-    for PNG/GIF/JPEG; ImageError for WebP (entropy codec out of scope)
-    and malformed payloads."""
+    for PNG/GIF/JPEG/WebP-lossless; ImageError for lossy WebP (VP8 is
+    a video codec, out of scope) and malformed payloads."""
     kind = sniff_image_kind(payload)
     dec = _DECODERS.get(kind or "")
     if dec is None:
@@ -579,10 +852,10 @@ def image_stats_row(payload: bytes) -> Optional[Tuple]:
     """Shared per-image row for the pixel-stats surface (the Spark UDF
     and the fixture golden MUST run this same function or the
     byte-identical gate drifts): (img_kind, width, height, n_samples,
-    mean_pm, spread_pm, decoded) — decoded is 'real' (PNG/GIF/JPEG
-    pixel stats), 'header-only' (WebP: entropy codec out of scope), or
-    'decode-error' (header parsed but the body doesn't decode). None
-    for non-images / unparseable headers."""
+    mean_pm, spread_pm, decoded) — decoded is 'real' (PNG/GIF/JPEG/
+    WebP-lossless pixel stats), 'header-only' (lossy WebP: VP8 entropy
+    coding out of scope), or 'decode-error' (header parsed but the
+    body doesn't decode). None for non-images / unparseable headers."""
     kind = sniff_image_kind(payload)
     if kind is None:
         return None
@@ -590,7 +863,8 @@ def image_stats_row(payload: bytes) -> Optional[Tuple]:
         w, h = image_dimensions(payload)
     except ImageError:
         return None
-    if kind not in _DECODERS:
+    if kind not in _DECODERS or (kind == "webp" and not webp_is_lossless(payload)):
+        # lossy/extended WebP: VP8 entropy coding out of scope
         return (kind, w, h, None, None, None, "header-only")
     try:
         dw, dh, n, mean_pm, spread_pm = image_pixel_stat_values(payload)
@@ -909,9 +1183,106 @@ def write_gif(width: int, height: int, seed: int = 0) -> bytes:
     return b"GIF89a" + screen + gct + descriptor + b"\x08" + bytes(blocks) + b"\x3b"
 
 
-def write_webp(width: int, height: int, seed: int = 0) -> bytes:
-    """WebP VP8X container carrying only the canvas size."""
-    vp8x = bytes(10)
+class _Vp8lBitWriter:
+    """LSB-first bit writer (mirror of _Vp8lReader); also used by the
+    codec tests to hand-assemble LZ77 / color-cache streams."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        self.acc |= (val & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+    def simple2(self, s0: int, s1: int) -> None:
+        """Simple prefix code with two 8-bit symbols (1 bit/use)."""
+        self.write(1, 1)  # simple
+        self.write(1, 1)  # two symbols
+        self.write(1, 1)  # first symbol is 8-bit
+        self.write(s0, 8)
+        self.write(s1, 8)
+
+    def simple1(self, s0: int) -> None:
+        """Simple prefix code with one 8-bit symbol (0 bits/use)."""
+        self.write(1, 1)
+        self.write(0, 1)
+        self.write(1, 1)
+        self.write(s0, 8)
+
+
+def _vp8l_container(body: bytes) -> bytes:
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"  # RIFF chunks are even-padded
+    payload = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def _vp8l_palette(seed: int) -> Tuple:
+    """Two distinct values per RGB channel, derived from the seed."""
+    pals = []
+    for a, b, c in ((37, 59, 101), (43, 71, 159), (29, 83, 201)):
+        v0 = (seed * a + c // 3) % 256
+        v1 = (seed * b + c) % 256
+        if v1 == v0:
+            v1 = (v0 + 97) % 256
+        pals.append((v0, v1))
+    return tuple(pals)
+
+
+def _vp8l_pattern_bits(x: int, y: int, seed: int) -> Tuple[int, int, int]:
+    """(green, red, blue) palette-select bits at (x, y)."""
+    g = ((x * 3 + y * 7 + seed) >> 2) & 1
+    r = ((x * 5 + y * 11 + seed * 3 + 1) >> 2) & 1
+    b = ((x * 7 + y * 13 + seed * 5 + 2) >> 2) & 1
+    return g, r, b
+
+
+def write_webp_lossless(width: int, height: int, seed: int = 0) -> bytes:
+    """Real lossless WebP: a VP8L bitstream (RFC 9649) with no
+    transforms, no color cache, literal-only coding and 2-symbol
+    simple prefix codes per RGB channel — eight distinct colors in a
+    deterministic per-seed pattern, decodable by any compliant
+    reader. Alpha is constant 255 (0 bits/pixel)."""
+    bw = _Vp8lBitWriter()
+    bw.write(0x2F, 8)
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    (g0, g1), (r0, r1), (b0, b1) = _vp8l_palette(seed)
+    bw.simple2(g0, g1)  # green
+    bw.simple2(r0, r1)  # red
+    bw.simple2(b0, b1)  # blue
+    bw.simple1(255)     # alpha: constant
+    bw.simple1(1)       # distance: never used, must still be defined
+    for y in range(height):
+        for x in range(width):
+            g, r, b = _vp8l_pattern_bits(x, y, seed)
+            # literal decode order green, red, blue (alpha is 0-bit)
+            bw.write(g | (r << 1) | (b << 2), 3)
+    return _vp8l_container(bw.finish())
+
+
+def write_webp_extended(width: int, height: int, seed: int = 0) -> bytes:
+    """WebP VP8X container carrying only the canvas size — the
+    header-only stand-in for lossy WebP (VP8 decode out of scope)."""
     vp8x = (
         b"\x00\x00\x00\x00"
         + (width - 1).to_bytes(3, "little")
@@ -920,3 +1291,12 @@ def write_webp(width: int, height: int, seed: int = 0) -> bytes:
     chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
     payload = b"WEBP" + chunk + bytes([seed & 0xFF, 0])
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def write_webp(width: int, height: int, seed: int = 0) -> bytes:
+    """Fixture WebP: even seeds emit a real VP8L lossless image, odd
+    seeds the header-only VP8X shell (keeps the lossy 'header-only'
+    pipeline path exercised)."""
+    if seed % 2 == 0:
+        return write_webp_lossless(width, height, seed)
+    return write_webp_extended(width, height, seed)

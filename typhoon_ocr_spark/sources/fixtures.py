@@ -38,7 +38,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 10  # v10: ~30% of rasters exceed the 300px resize trigger (payload change — regen all tiers)
+CORPUS_VERSION = 11  # v11: even-doc_id WebP rows are real VP8L lossless images (payload change — regen all tiers)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -176,15 +176,18 @@ _IMAGE_WRITERS = [write_png, write_jpeg, write_gif, write_webp]
 
 def _image_payload(rng: random.Random, doc_id: int) -> bytes:
     """Raster payload (PNG/JPEG/GIF/WebP) with deterministic dims.
-    PNG/JPEG/GIF carry REAL pixel data (bounded dims keep encode cost
-    sane); WebP stays header-only (its entropy codec is out of scope).
-    ~30% of the real-format rasters exceed the 300 px resize trigger so
-    the pixel-resample golden actually checks resized PNGs (a corpus
-    capped under the trigger made that gate vacuous — round-3 review)."""
+    PNG/JPEG/GIF carry REAL pixel data, and WebP does too for even
+    doc_ids (VP8L lossless; odd doc_ids stay the header-only VP8X
+    shell standing in for lossy VP8). Bounded dims keep encode cost
+    sane; ~30% of the real-pixel rasters exceed the 300 px resize
+    trigger so the pixel-resample golden actually checks resized PNGs
+    (a corpus capped under the trigger made that gate vacuous —
+    round-3 review)."""
     writer = _IMAGE_WRITERS[rng.randrange(len(_IMAGE_WRITERS))]
     width = rng.randint(16, 2400)
     height = rng.randint(16, 1800)
-    if writer is not write_webp:  # real pixels: keep the count bounded
+    header_only_webp = writer is write_webp and doc_id % 2 == 1
+    if not header_only_webp:  # real pixels: keep the count bounded
         if rng.random() < 0.3:  # over-trigger cohort (one side > 300)
             width, height = width % 150 + 301, height % 200 + 60
         else:
