@@ -70,6 +70,7 @@ from typhoon_ocr_spark.operators import (
     textstats,
     weburl,
 )
+from typhoon_ocr_spark.operators.textstats import KNOWN_LANGS
 from typhoon_ocr_spark.operators.extract import (
     classify_pages,
     extract_documents,
@@ -199,6 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["top_bigram"] = lambda spark, sf: textstats.top_bigram(_t(spark, sf, "documents"))
+    q["corpus_keep"] = lambda spark, sf: textstats.training_corpus_keep(
+        _t(spark, sf, "documents")
+    )
     q["dataset_split"] = lambda spark, sf: sampling.train_val_test_split(
         _t(spark, sf, "documents").select("doc_id")
     )
@@ -790,38 +794,66 @@ def oracle_sql() -> dict[str, str]:
 
     ell_pred = " OR ".join(f"ends_with(x, '{s}')" for s in ELLIPSIS_SUFFIXES)
     bullet_list = ", ".join(f"'{p}'" for p in BULLET_PREFIXES)
-    sql["gopher_quality"] = (
-        f"WITH t AS (SELECT doc_id, {toks} AS toks, "
-        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws, "
-        f"{duck_lines} AS lines FROM documents), "
-        "m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, "
-        f" {duck_charsum('toks')} AS tok_chars, "
-        " CAST(len(ws) AS BIGINT) AS n_ws, "
-        " CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha, "
-        " CAST(len(lines) AS BIGINT) AS n_lines, "
-        f" CAST(len(list_filter(lines, x -> {ell_pred})) AS BIGINT) AS ell, "
-        f" CAST(len(list_filter(lines, x -> substring(x, 1, 1) IN ({bullet_list}))) AS BIGINT) AS bul, "
-        " len(list_distinct(lines)) AS n_dlines, "
-        f" {duck_charsum('lines')} AS line_chars, "
-        f" {duck_charsum('list_distinct(lines)')} AS dline_chars FROM t), "
-        "r AS (SELECT doc_id, "
-        " CAST(round(100.0 * tok_chars / greatest(n_toks, 1)) AS BIGINT) AS mean_word_len_centi, "
-        f" {duck_pm('ell', 'n_lines')} AS ellipsis_line_per_mille, "
-        f" {duck_pm('bul', 'n_lines')} AS bullet_line_per_mille, "
-        f" {duck_pm('alpha', 'n_ws')} AS alpha_word_per_mille, "
-        f" {duck_pm('n_lines - n_dlines', 'n_lines')} AS dup_line_per_mille, "
-        f" {duck_pm('line_chars - dline_chars', 'line_chars')} AS dup_line_char_per_mille "
-        " FROM m) "
-        "SELECT doc_id, mean_word_len_centi, ellipsis_line_per_mille, "
-        "bullet_line_per_mille, alpha_word_per_mille, dup_line_per_mille, "
-        "dup_line_char_per_mille, "
+
+    def gopher_ctes(extra: str = "") -> str:
+        """Shared t/m/r CTE chain for the Gopher quality gate; ``extra``
+        columns (e.g. ', lang, md5(text) AS text_md5') ride through —
+        the SQL mirror of gopher_quality(passthrough=...)."""
+        carry = extra  # already rendered as ', col, ...' or ''
+        names = "".join(
+            ", " + c.split(" AS ")[-1].strip() for c in extra.split(",") if c.strip()
+        )
+        return (
+            f"WITH t AS (SELECT doc_id{carry}, {toks} AS toks, "
+            "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws, "
+            f"{duck_lines} AS lines FROM documents), "
+            f"m AS (SELECT doc_id{names}, CAST(len(toks) AS BIGINT) AS n_toks, "
+            f" {duck_charsum('toks')} AS tok_chars, "
+            " CAST(len(ws) AS BIGINT) AS n_ws, "
+            " CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha, "
+            " CAST(len(lines) AS BIGINT) AS n_lines, "
+            f" CAST(len(list_filter(lines, x -> {ell_pred})) AS BIGINT) AS ell, "
+            f" CAST(len(list_filter(lines, x -> substring(x, 1, 1) IN ({bullet_list}))) AS BIGINT) AS bul, "
+            " len(list_distinct(lines)) AS n_dlines, "
+            f" {duck_charsum('lines')} AS line_chars, "
+            f" {duck_charsum('list_distinct(lines)')} AS dline_chars FROM t), "
+            f"r AS (SELECT doc_id{names}, "
+            " CAST(round(100.0 * tok_chars / greatest(n_toks, 1)) AS BIGINT) AS mean_word_len_centi, "
+            f" {duck_pm('ell', 'n_lines')} AS ellipsis_line_per_mille, "
+            f" {duck_pm('bul', 'n_lines')} AS bullet_line_per_mille, "
+            f" {duck_pm('alpha', 'n_ws')} AS alpha_word_per_mille, "
+            f" {duck_pm('n_lines - n_dlines', 'n_lines')} AS dup_line_per_mille, "
+            f" {duck_pm('line_chars - dline_chars', 'line_chars')} AS dup_line_char_per_mille "
+            " FROM m)"
+        )
+
+    gopher_keep_pred = (
         f"(mean_word_len_centi BETWEEN {GOPHER_MIN_MEAN_WORD_LEN_CENTI} "
         f"AND {GOPHER_MAX_MEAN_WORD_LEN_CENTI} "
         f"AND ellipsis_line_per_mille <= {GOPHER_MAX_ELLIPSIS_LINE_PM} "
         f"AND bullet_line_per_mille <= {GOPHER_MAX_BULLET_LINE_PM} "
         f"AND alpha_word_per_mille >= {GOPHER_MIN_ALPHA_WORD_PM} "
         f"AND dup_line_per_mille <= {GOPHER_MAX_DUP_LINE_PM} "
-        f"AND dup_line_char_per_mille <= {GOPHER_MAX_DUP_LINE_CHAR_PM}) AS keep FROM r"
+        f"AND dup_line_char_per_mille <= {GOPHER_MAX_DUP_LINE_CHAR_PM})"
+    )
+
+    sql["gopher_quality"] = (
+        gopher_ctes()
+        + " SELECT doc_id, mean_word_len_centi, ellipsis_line_per_mille, "
+        "bullet_line_per_mille, alpha_word_per_mille, dup_line_per_mille, "
+        f"dup_line_char_per_mille, {gopher_keep_pred} AS keep FROM r"
+    )
+
+    known_langs = ", ".join(f"'{lang}'" for lang in KNOWN_LANGS)
+    sql["corpus_keep"] = (
+        gopher_ctes(", lang, md5(text) AS text_md5")
+        + ", k AS (SELECT doc_id, lang, text_md5, "
+        f"{gopher_keep_pred} AS quality_keep, "
+        "min(doc_id) OVER (PARTITION BY text_md5) AS keeper_id FROM r) "
+        "SELECT doc_id, quality_keep, doc_id = keeper_id AS is_keeper, "
+        f"lang IN ({known_langs}) AS lang_ok, "
+        f"(quality_keep AND doc_id = keeper_id AND lang IN ({known_langs})) AS kept "
+        "FROM k"
     )
 
     sql["top_bigram"] = (

@@ -31,6 +31,7 @@ CORPUS_QUERIES = [
     "repetition_stats",
     "gopher_quality",
     "top_bigram",
+    "corpus_keep",
     "ann_topk",
     "token_rollup",
     "page_explode",

@@ -71,3 +71,41 @@ def test_top_bigram_values(docs):
     assert rows[2]["bigram"] == "one two"
     assert rows[2]["occurrences"] == 3
     assert rows[2]["top_per_mille"] == 600  # 3 of 5 bigrams
+
+
+def test_training_corpus_keep_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, DOC_MIXED, "en"),   # keeper of text A, good quality
+            (2, DOC_MIXED, "en"),   # exact dup of doc 1 -> dropped
+            (3, DOC_LOOP, "de"),    # unknown lang -> dropped
+            (4, DOC_EMPTY, "th"),   # fails the quality gate -> dropped
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = _by_id(textstats.training_corpus_keep(docs))
+    assert rows[1] == {
+        "doc_id": 1, "quality_keep": True, "is_keeper": True,
+        "lang_ok": True, "kept": True,
+    }
+    assert rows[2]["is_keeper"] is False and rows[2]["kept"] is False
+    assert rows[2]["quality_keep"] is True  # dropped ONLY by dedup
+    assert rows[3]["lang_ok"] is False and rows[3]["kept"] is False
+    assert rows[3]["quality_keep"] is True and rows[3]["is_keeper"] is True
+    assert rows[4]["quality_keep"] is False and rows[4]["kept"] is False
+
+
+def test_training_corpus_keep_single_scan(spark, tmp_path):
+    """The composition must stay one input scan (lang/md5 ride the
+    gopher passthrough) — a join-of-three-lineages design would read
+    the 100 TB table three times."""
+    docs = spark.createDataFrame(
+        [(1, DOC_MIXED, "en")], "doc_id long, text string, lang string"
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    plan = (
+        textstats.training_corpus_keep(spark.read.parquet(path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1

@@ -161,18 +161,26 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_quality(
+    documents: DataFrame, text_col: str = "text", passthrough: tuple = ()
+) -> DataFrame:
     """Gopher-rule quality gate (Rae et al. 2021 flavor; thresholds
     frozen in functions/textsql.py): mean word length window,
     ellipsis-line and bullet-line caps, minimum alphabetic-word
     fraction, duplicate-line caps. Map-only column expressions.
-    Output: (doc_id, mean_word_len_centi, ellipsis_line_per_mille,
-    bullet_line_per_mille, alpha_word_per_mille, dup_line_per_mille,
-    dup_line_char_per_mille, keep)."""
+    ``passthrough`` ({name: expression-over-the-input}) columns ride
+    along so composers stay single-scan.
+    Output: (doc_id, [passthrough...,] mean_word_len_centi,
+    ellipsis_line_per_mille, bullet_line_per_mille,
+    alpha_word_per_mille, dup_line_per_mille, dup_line_char_per_mille,
+    keep)."""
+    passthrough = dict(passthrough or {})
+    pass_names = list(passthrough)
     text = F.col(text_col)
     ws = F.filter(F.split(text, WS_SPLIT_PATTERN), lambda x: x != F.lit(""))
     a = documents.select(
         "doc_id",
+        *(expr.alias(name) for name, expr in passthrough.items()),
         F.explode(
             F.array(
                 F.struct(
@@ -185,6 +193,7 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
     b = a.select(
         "doc_id",
+        *pass_names,
         F.explode(
             F.array(
                 F.struct(
@@ -225,6 +234,7 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
     dup_char_pm = _per_mille(line_chars - dline_chars, line_chars)
     return b.select(
         "doc_id",
+        *pass_names,
         mean_centi.alias("mean_word_len_centi"),
         ellipsis_pm.alias("ellipsis_line_per_mille"),
         bullet_pm.alias("bullet_line_per_mille"),
@@ -240,6 +250,38 @@ def gopher_quality(documents: DataFrame, text_col: str = "text") -> DataFrame:
             & (dup_line_pm <= GOPHER_MAX_DUP_LINE_PM)
             & (dup_char_pm <= GOPHER_MAX_DUP_LINE_CHAR_PM)
         ).alias("keep"),
+    )
+
+
+KNOWN_LANGS = ("en", "th")
+
+
+def training_corpus_keep(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """The end-to-end training-set gate a 100 TB pipeline runs before
+    tokenization: Gopher quality ∧ exact-dedup survivorship (first
+    doc_id per identical text wins) ∧ known language. Single input
+    scan (lang + md5 ride through gopher_quality's passthrough), one
+    shuffle (the text_md5 window). Output: (doc_id, quality_keep,
+    is_keeper, lang_ok, kept)."""
+    from pyspark.sql import Window
+
+    q = gopher_quality(
+        documents,
+        text_col,
+        passthrough={
+            "lang": F.col("lang"),
+            "text_md5": F.md5(F.col(text_col)),
+        },
+    )
+    keeper_id = F.min("doc_id").over(Window.partitionBy("text_md5"))
+    flagged = q.select(
+        "doc_id",
+        F.col("keep").alias("quality_keep"),
+        (F.col("doc_id") == keeper_id).alias("is_keeper"),
+        F.col("lang").isin(*KNOWN_LANGS).alias("lang_ok"),
+    )
+    return flagged.withColumn(
+        "kept", F.col("quality_keep") & F.col("is_keeper") & F.col("lang_ok")
     )
 
 
