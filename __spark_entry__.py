@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from typhoon_ocr_spark.functions.textsql import (
+    ALPHA_WORD_CLASS,
     ANN_QUERY_EVERY,
     ANN_TOP_K,
     BPE_TOKEN_PATTERN,
@@ -795,14 +796,15 @@ def oracle_sql() -> dict[str, str]:
     ell_pred = " OR ".join(f"ends_with(x, '{s}')" for s in ELLIPSIS_SUFFIXES)
     bullet_list = ", ".join(f"'{p}'" for p in BULLET_PREFIXES)
 
-    def gopher_ctes(extra: str = "") -> str:
-        """Shared t/m/r CTE chain for the Gopher quality gate; ``extra``
-        columns (e.g. ', lang, md5(text) AS text_md5') ride through —
-        the SQL mirror of gopher_quality(passthrough=...)."""
-        carry = extra  # already rendered as ', col, ...' or ''
-        names = "".join(
-            ", " + c.split(" AS ")[-1].strip() for c in extra.split(",") if c.strip()
-        )
+    def gopher_ctes(passthrough: tuple = ()) -> str:
+        """Shared t/m/r CTE chain for the Gopher quality gate;
+        ``passthrough`` is a tuple of (expression_sql, name) pairs that
+        ride through every CTE — the SQL mirror of
+        gopher_quality(passthrough=...). Structured pairs, not a raw
+        fragment: string-splitting a fragment breaks on expressions
+        containing commas."""
+        carry = "".join(f", {expr} AS {name}" for expr, name in passthrough)
+        names = "".join(f", {name}" for _, name in passthrough)
         return (
             f"WITH t AS (SELECT doc_id{carry}, {toks} AS toks, "
             "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws, "
@@ -810,7 +812,7 @@ def oracle_sql() -> dict[str, str]:
             f"m AS (SELECT doc_id{names}, CAST(len(toks) AS BIGINT) AS n_toks, "
             f" {duck_charsum('toks')} AS tok_chars, "
             " CAST(len(ws) AS BIGINT) AS n_ws, "
-            " CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha, "
+            f" CAST(len(list_filter(ws, x -> regexp_matches(x, '{ALPHA_WORD_CLASS}'))) AS BIGINT) AS alpha, "
             " CAST(len(lines) AS BIGINT) AS n_lines, "
             f" CAST(len(list_filter(lines, x -> {ell_pred})) AS BIGINT) AS ell, "
             f" CAST(len(list_filter(lines, x -> substring(x, 1, 1) IN ({bullet_list}))) AS BIGINT) AS bul, "
@@ -846,7 +848,7 @@ def oracle_sql() -> dict[str, str]:
 
     known_langs = ", ".join(f"'{lang}'" for lang in KNOWN_LANGS)
     sql["corpus_keep"] = (
-        gopher_ctes(", lang, md5(text) AS text_md5")
+        gopher_ctes((("lang", "lang"), ("md5(text)", "text_md5")))
         + ", k AS (SELECT doc_id, lang, text_md5, "
         f"{gopher_keep_pred} AS quality_keep, "
         "min(doc_id) OVER (PARTITION BY text_md5) AS keeper_id FROM r) "

@@ -607,3 +607,46 @@ def test_vp8l_color_cache_hit():
     assert (w, h, ch) == (2, 1, 4)
     assert tuple(px[0:4]) == (10, 100, 20, 255)
     assert tuple(px[4:8]) == tuple(px[0:4])
+
+
+def test_vp8l_literal_channel_read_order():
+    """Spec read order is green, red, blue, alpha (RFC 9649). With
+    2-symbol red AND alpha codes the orders are distinguishable: the
+    fixture encoder's 0-bit alpha code can't catch a transposition
+    (found by review — an inline or-expression read alpha first)."""
+    from typhoon_ocr_spark.oracle.images import (
+        _Vp8lBitWriter,
+        _vp8l_container,
+        decode_image,
+    )
+
+    bw = _Vp8lBitWriter()
+    _vp8l_header_bits(bw, 1, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    bw.simple2(100, 101)  # green
+    bw.simple2(10, 11)    # red
+    bw.simple1(20)        # blue
+    bw.simple2(200, 201)  # alpha
+    bw.simple1(1)         # distance
+    bw.write(0, 1)  # green -> 100
+    bw.write(1, 1)  # red   -> 11
+    bw.write(0, 1)  # alpha -> 200 (blue consumes no bits)
+    w, h, ch, px = decode_image(_vp8l_container(bw.finish()))
+    assert (w, h, ch) == (1, 1, 4)
+    assert tuple(px) == (11, 100, 20, 200)
+
+
+def test_vp8l_incomplete_prefix_code_rejected():
+    """Kraft-incomplete / over-full canonical codes must raise (the
+    error-as-row contract: corrupt bodies may not decode to junk
+    reported as 'real')."""
+    from typhoon_ocr_spark.oracle.images import ImageError, _VP8LPrefixCode
+
+    with pytest.raises(ImageError):
+        _VP8LPrefixCode([1, 1, 1])  # over-full
+    with pytest.raises(ImageError):
+        _VP8LPrefixCode([2, 2, 2])  # incomplete
+    # complete codes still build
+    assert _VP8LPrefixCode([1, 2, 2]).max_len == 2

@@ -88,6 +88,7 @@ GOPHER_MAX_MEAN_WORD_LEN_CENTI = 1000
 GOPHER_MAX_ELLIPSIS_LINE_PM = 300   # <=30% of lines end in an ellipsis
 GOPHER_MAX_BULLET_LINE_PM = 900     # <=90% of lines start with a bullet
 GOPHER_MIN_ALPHA_WORD_PM = 600      # >=60% of words contain a letter
+ALPHA_WORD_CLASS = "[A-Za-z]"       # "word contains a letter" predicate
 GOPHER_MAX_DUP_LINE_PM = 300        # <=30% duplicate lines
 GOPHER_MAX_DUP_LINE_CHAR_PM = 200   # <=20% of chars in duplicate lines
 BULLET_PREFIXES = ("-", "*", "•")

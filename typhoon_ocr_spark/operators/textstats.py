@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textsql import (
+    ALPHA_WORD_CLASS,
     BPE_TOKEN_PATTERN,
     BULLET_PREFIXES,
     ELLIPSIS_SUFFIXES,
@@ -225,7 +226,7 @@ def gopher_quality(
         F.filter(F.col("b.lines"), lambda x: x.substr(1, 1).isin(*BULLET_PREFIXES))
     ).cast("long")
     alpha = F.size(
-        F.filter(F.col("b.ws"), lambda x: x.rlike("[A-Za-z]"))
+        F.filter(F.col("b.ws"), lambda x: x.rlike(ALPHA_WORD_CLASS))
     ).cast("long")
     ellipsis_pm = _per_mille(ellipsis, n_lines)
     bullet_pm = _per_mille(bullet, n_lines)

@@ -622,6 +622,12 @@ class _VP8LPrefixCode:
                 next_code[ln] += 1
         self.table = table
         self.max_len = max(bl_count)
+        # completeness (Kraft sum == 1): an incomplete or over-full
+        # code would decode corrupt streams into junk pixels reported
+        # as decoded='real'; libwebp rejects these too
+        kraft = sum(1 << (self.max_len - ln) for ln, _ in nz)
+        if kraft != 1 << self.max_len:
+            raise ImageError("VP8L: incomplete prefix code")
 
     @classmethod
     def simple(cls, symbols):
@@ -745,10 +751,13 @@ def _vp8l_decode_pixels(br: _Vp8lReader, width: int, height: int, level0: bool):
             ]
             gc, rc, bc, ac, dc = groups[mi]
         sym = gc.read(br)
-        if sym < 256:  # literal: green, then red, blue, alpha
-            val = (
-                (ac.read(br) << 24) | (rc.read(br) << 16) | (sym << 8) | bc.read(br)
-            )
+        if sym < 256:  # literal: read order green, red, blue, alpha
+            # (explicit sequencing — an inline or-expression would read
+            # alpha's bits FIRST via Python left-to-right evaluation)
+            red = rc.read(br)
+            blue = bc.read(br)
+            alpha = ac.read(br)
+            val = (alpha << 24) | (red << 16) | (sym << 8) | blue
             pix[pos] = val
             if cache is not None:
                 cache[(_VP8L_CACHE_MULT * val & 0xFFFFFFFF) >> cache_shift] = val
@@ -1293,10 +1302,18 @@ def write_webp_extended(width: int, height: int, seed: int = 0) -> bytes:
     return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
+def webp_seed_is_lossless(seed: int) -> bool:
+    """THE dispatch rule for fixture WebP payloads — the corpus
+    generator sizes dims by this same predicate (real VP8L pixels need
+    bounded dims; header-only shells don't), so it must have exactly
+    one definition."""
+    return seed % 2 == 0
+
+
 def write_webp(width: int, height: int, seed: int = 0) -> bytes:
-    """Fixture WebP: even seeds emit a real VP8L lossless image, odd
-    seeds the header-only VP8X shell (keeps the lossy 'header-only'
+    """Fixture WebP: lossless seeds emit a real VP8L image, the rest
+    the header-only VP8X shell (keeps the lossy 'header-only'
     pipeline path exercised)."""
-    if seed % 2 == 0:
+    if webp_seed_is_lossless(seed):
         return write_webp_lossless(width, height, seed)
     return write_webp_extended(width, height, seed)

@@ -30,7 +30,13 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..oracle.docpipe import extract_document
-from ..oracle.images import write_gif, write_jpeg, write_png, write_webp
+from ..oracle.images import (
+    webp_seed_is_lossless,
+    write_gif,
+    write_jpeg,
+    write_png,
+    write_webp,
+)
 from ..oracle.linearize import DEFAULT_ANCHOR_BUDGET
 from ..oracle.pdfmini import MiniPdfWriter
 from ..oracle.prompts import render_prompt
@@ -186,7 +192,7 @@ def _image_payload(rng: random.Random, doc_id: int) -> bytes:
     writer = _IMAGE_WRITERS[rng.randrange(len(_IMAGE_WRITERS))]
     width = rng.randint(16, 2400)
     height = rng.randint(16, 1800)
-    header_only_webp = writer is write_webp and doc_id % 2 == 1
+    header_only_webp = writer is write_webp and not webp_seed_is_lossless(doc_id)
     if not header_only_webp:  # real pixels: keep the count bounded
         if rng.random() < 0.3:  # over-trigger cohort (one side > 300)
             width, height = width % 150 + 301, height % 200 + 60
