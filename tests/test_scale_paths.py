@@ -382,3 +382,54 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     # but never the same-batch duplicate
     assert emitted["k1"] in ("u1-first", "u1-dup-later-batch")
     assert emitted["k1"] != "u1-dup-same-batch"
+
+
+def test_streaming_corpus_keep(spark, tmp_path):
+    """Continuous training-set gate: quality/lang filters run stateless
+    BEFORE the keyed store (bad rows never create state), exact-dedup
+    survivorship holds across micro-batch boundaries."""
+    from typhoon_ocr_spark.streaming.stateful import streaming_corpus_keep
+
+    good_a = "spark engine extract pipeline cluster data rows batch"
+    good_c = "anchor text layout page table column vector partition"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [
+            (1, good_a, "en"),   # kept: first arrival
+            (2, "", "en"),       # dropped: quality (never enters state)
+            (3, good_c, "de"),   # dropped: unknown lang
+        ],
+        "doc_id long, text string, lang string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, good_a, "en"),   # dropped: dup of doc 1 across batches
+            (5, good_c, "th"),   # kept: same text doc 3 failed on LANG,
+                                 # so it never claimed the state slot
+        ],
+        "doc_id long, text string, lang string",
+    )
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+
+    out_rows = []
+    q = (
+        streaming_corpus_keep(
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: out_rows.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kept_ids = sorted(url for _, url in out_rows)
+    # file order is not pinned, but doc 4 can only win its slot if b2
+    # ran first; either way exactly TWO texts survive
+    assert len(out_rows) == 2
+    assert kept_ids in (["1", "5"], ["4", "5"])

@@ -311,3 +311,33 @@ def streaming_first_seen(stream: DataFrame, key_col: str = "key") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_corpus_keep(doc_stream: DataFrame) -> DataFrame:
+    """Continuous twin of operators.textstats.training_corpus_keep for
+    ingest pipelines: the Gopher quality flags and the language gate
+    are STATELESS column expressions (built by the same
+    gopher_quality code as the batch operator, so the two gates cannot
+    drift) and run before any state — only quality-passing docs ever
+    touch the keyed store. Exact-dedup survivorship is first-seen
+    GroupState on md5(text): the first arrival of a text wins; every
+    later identical text, in this or any later micro-batch, drops.
+    State is one long per distinct kept text (shard checkpoints by
+    key-hash range at 10^12 scale). Input: streaming (doc_id, text,
+    lang). Output: (key=text_md5, url=doc_id as string)."""
+    from ..operators.textstats import KNOWN_LANGS, gopher_quality
+
+    flagged = gopher_quality(
+        doc_stream,
+        passthrough={
+            "lang": F.col("lang"),
+            "text_md5": F.md5(F.col("text")),
+        },
+    )
+    kept = flagged.filter(F.col("keep") & F.col("lang").isin(*KNOWN_LANGS))
+    return streaming_first_seen(
+        kept.select(
+            F.col("text_md5").alias("key"),
+            F.col("doc_id").cast("string").alias("url"),
+        )
+    )
