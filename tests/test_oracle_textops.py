@@ -86,3 +86,36 @@ class TestFixTextLite:
     def test_nfc_normalization(self):
         decomposed = "é"  # e + combining acute
         assert fix_text_lite(decomposed) == "é"
+
+    # -- round-3 widened subset (ftfy.fix_text defaults) --------------
+
+    def test_cp1252_utf8_mojibake_and_uncurl(self):
+        # "it\u2019s" mis-decoded as windows-1252; repair + ftfy's
+        # default uncurl_quotes
+        mojibake = "it\u2019s".encode("utf-8").decode("cp1252")
+        assert fix_text_lite(mojibake) == "it's"
+
+    def test_double_encoded_mojibake_fixpoint(self):
+        once = "caf\u00e9".encode("utf-8").decode("cp1252")
+        twice = once.encode("utf-8").decode("cp1252")
+        assert fix_text_lite(twice) == "caf\u00e9"
+
+    def test_latin_ligatures(self):
+        assert fix_text_lite("\ufb02u\ufb03est \ufb01le") == "fluffiest file"
+
+    def test_fullwidth_fold(self):
+        assert fix_text_lite(
+            "\uff2c\uff2f\uff35\uff24\u3000\uff2e\uff2f\uff29\uff33\uff25\uff33\uff01"
+        ) == "LOUD NOISES!"
+
+    def test_terminal_escapes_removed(self):
+        assert fix_text_lite("\x1b[4mtitle\x1b[0m body") == "title body"
+
+    def test_c1_controls_as_cp1252(self):
+        assert fix_text_lite("wait\x85 what\x97no") == "wait\u2026 what\u2014no"
+
+    def test_curly_quotes_uncurled_without_mojibake(self):
+        assert (
+            fix_text_lite("\u201cquoted\u201d and \u2018single\u2019")
+            == "\"quoted\" and 'single'"
+        )

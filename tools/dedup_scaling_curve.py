@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from typhoon_ocr_spark.operators import dedup, similarity  # noqa: E402
+from typhoon_ocr_spark.operators import dedup, similarity, textstats  # noqa: E402
 from typhoon_ocr_spark.plans.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -123,6 +123,9 @@ def main() -> None:
             e, n_dims=dims
         ).count(),
         "ann_ivf_topk": lambda d, e: similarity.ivf_probed_topk(e).count(),
+        # round 3: the one new textstats op with a shuffle + per-doc
+        # fan-out (bigram explode -> groupBy -> window)
+        "top_bigram": lambda d, e: textstats.top_bigram(d).count(),
     }
 
     best: dict = {name: {"sec_1x": None, "sec_10x": None} for name in ops}

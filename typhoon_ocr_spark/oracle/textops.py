@@ -49,26 +49,118 @@ def cap_split_string(text: str, max_length: int) -> str:
     return f"{head} ... {tail}"
 
 
-def fix_text_lite(text: str) -> str:
-    """Documented ftfy subset (SURVEY.md §7.4): repair the classic
-    utf-8-bytes-read-as-latin-1 mojibake, then normalize to NFC.
+# windows-1252's 0x80-0x9F graphic block (the bytes latin-1 maps to C1
+# controls); sloppy-1252 keeps the five unmapped bytes as-is, exactly
+# like ftfy's sloppy-windows-1252 codec.
+_CP1252_GRAPHICS = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…", 0x86: "†",
+    0x87: "‡", 0x88: "ˆ", 0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“", 0x94: "”", 0x95: "•",
+    0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+_SLOPPY_1252_INV = {ch: b for b, ch in _CP1252_GRAPHICS.items()}
 
-    The repair is attempted only when the whole string survives a
-    latin-1 encode AND the resulting bytes decode as valid utf-8 to a
-    *different* string containing at least one non-ASCII character —
-    i.e. the text actually looks like mojibake. Plain ASCII and any text
-    containing characters outside latin-1 (e.g. Thai) pass through
-    untouched, which matches ftfy's behavior on such inputs.
-    """
-    repaired = text
+# ftfy default fixes reproduced exactly (fix_latin_ligatures,
+# fix_character_width, uncurl_quotes — ftfy.fixes tables)
+_LIGATURES = {
+    "Ĳ": "IJ", "ĳ": "ij", "ﬀ": "ff", "ﬁ": "fi", "ﬂ": "fl",
+    "ﬃ": "ffi", "ﬄ": "ffl", "ﬅ": "st", "ﬆ": "st",
+}
+_CURLY_QUOTES = {"‘": "'", "’": "'", "‚": "'", "‛": "'",
+                 "“": '"', "”": '"', "„": '"', "‟": '"'}
+_TERMINAL_ESCAPE_RE = re.compile(r"\x1b\[[0-9;]*[mKHJ]")
+
+
+def sloppy_1252_decode(raw: bytes) -> str:
+    """Decode bytes the way a sloppy windows-1252 reader would (ftfy's
+    sloppy-windows-1252: the five unmapped bytes pass through as C1
+    controls instead of erroring) — the exact inverse of
+    _sloppy_1252_bytes. Used by fixtures/tests to MANUFACTURE mojibake
+    deterministically; strict cp1252 refuses bytes like 0x9D that real
+    mojibake contains all the time."""
+    return "".join(
+        _CP1252_GRAPHICS.get(b, chr(b)) if 0x80 <= b <= 0x9F else chr(b)
+        for b in raw
+    )
+
+
+def _sloppy_1252_bytes(text: str):
+    """Encode as windows-1252 the way a mis-decoder would have produced
+    the text (unmapped C1 bytes round-trip as themselves); None when
+    any character can't have come from a single byte."""
+    out = bytearray()
+    for ch in text:
+        cp = ord(ch)
+        if cp < 0x80 or 0xA0 <= cp <= 0xFF:
+            out.append(cp)
+        elif ch in _SLOPPY_1252_INV:
+            out.append(_SLOPPY_1252_INV[ch])
+        elif 0x80 <= cp <= 0x9F:  # the five unmapped C1 slots
+            out.append(cp)
+        else:
+            return None
+    return bytes(out)
+
+
+def _fix_encoding_once(text: str) -> str:
+    """One mojibake-repair pass: if the text could be utf-8 bytes that
+    were mis-decoded as latin-1 OR windows-1252, return the re-decoded
+    string (accepted only when different and actually non-ASCII).
+    The sloppy-1252 inverse covers BOTH mis-decodings: latin-1 puts
+    utf-8 continuation bytes at C1 controls (0x80-0x9F branch),
+    windows-1252 puts them at its graphics block (inverse table)."""
+    raw = _sloppy_1252_bytes(text)
+    if raw is None:
+        return text
     try:
-        raw = text.encode("latin-1")
         candidate = raw.decode("utf-8")
-        if candidate != text and any(ord(ch) > 127 for ch in candidate):
-            repaired = candidate
-    except (UnicodeEncodeError, UnicodeDecodeError):
-        pass
-    return unicodedata.normalize("NFC", repaired)
+    except UnicodeDecodeError:
+        return text
+    if candidate != text and any(ord(ch) > 127 for ch in candidate):
+        return candidate
+    return text
+
+
+def fix_text_lite(text: str) -> str:
+    """Documented ftfy subset (SURVEY.md §7.4, widened round 3): the
+    ftfy.fix_text DEFAULT fixes that are deterministic and
+    stdlib-reproducible —
+
+    - fix_encoding: utf-8 bytes mis-decoded as latin-1 or (sloppy)
+      windows-1252, iterated to a fixpoint (handles double-encoding)
+    - remove_terminal_escapes: ANSI color/cursor sequences
+    - fix_c1_controls: stray C1 control characters re-read as their
+      windows-1252 graphics (0x85 -> …)
+    - fix_latin_ligatures: ﬁ/ﬂ/ﬀ/ﬃ/ﬄ/ﬅ/ﬆ/Ĳ -> ASCII sequences
+    - fix_character_width: full-width ASCII + ideographic space fold
+    - uncurl_quotes: ‘ ’ “ ” -> straight quotes
+    - NFC normalization (ftfy's default normalization)
+
+    NOT reproduced (documented): unescape_html='auto',
+    restore_byte_a0, replace_lossy_sequences, decode_inconsistent_utf8
+    — fixture text avoids those cases; plain ASCII and Thai pass
+    through untouched, matching ftfy."""
+    text = _TERMINAL_ESCAPE_RE.sub("", text)
+    for _ in range(3):  # encoding fixpoint (double-mojibake = 2 passes)
+        repaired = _fix_encoding_once(text)
+        if repaired == text:
+            break
+        text = repaired
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if 0x80 <= cp <= 0x9F:  # fix_c1_controls
+            ch = _CP1252_GRAPHICS.get(cp, ch)
+        if ch in _LIGATURES:
+            out.append(_LIGATURES[ch])
+            continue
+        if 0xFF01 <= cp <= 0xFF5E:  # fullwidth ASCII block
+            ch = chr(cp - 0xFF01 + 0x21)
+        elif ch == "　":  # ideographic space
+            ch = " "
+        out.append(_CURLY_QUOTES.get(ch, ch))
+    return unicodedata.normalize("NFC", "".join(out))
 
 
 def cleanup_element_text(text: str) -> str:

@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 11  # v11: even-doc_id WebP rows are real VP8L lossless images (payload change — regen all tiers)
+CORPUS_VERSION = 13  # v13: widened-ftfy cohort split into repairable runs (cp1252 mojibake separate from multi-byte chars)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -147,6 +147,16 @@ def _pdf_payload(rng: random.Random, doc_id: int, lang: str, n_pages: int) -> by
             w.text(72, base_y - 20, long_text)
             mojibake = "café naïve".encode("utf-8").decode("latin-1")
             w.text(72, base_y - 40, f"fix {mojibake} me")
+            # round 3: the widened fix_text_lite paths (SURVEY §7.4).
+            # Mojibake repair is whole-string (like ftfy's per-segment
+            # granularity at element scope), so the cp1252 case gets
+            # its own run — mixing in multi-byte chars (ﬁ, Ｏ) would
+            # make the sloppy-1252 encode fail and mask the repair.
+            from ..oracle.textops import sloppy_1252_decode
+
+            cp1252 = sloppy_1252_decode("it’s “quoted”".encode("utf-8"))
+            w.text(72, base_y - 60, f"q {cp1252} end")
+            w.text(72, base_y - 80, "and ﬂuﬃest ﬁne ＯＫ　done")
         elif style < 0.42:
             # images: two overlapping + one disjoint (merge path)
             w.image("Im1", 50, 60, 100, 110)
