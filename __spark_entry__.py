@@ -204,6 +204,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_keep"] = lambda spark, sf: textstats.training_corpus_keep(
         _t(spark, sf, "documents")
     )
+
+    def _docs_with_pii(spark, sf):
+        # deterministic synthetic PII appended per doc (the testdata
+        # corpus itself is PII-free, which would make the scrub query
+        # vacuous); the DuckDB twin builds the identical string
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +66 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ).alias("text"),
+        )
+
+    q["pii_scrub"] = lambda spark, sf: textstats.pii_scrub(_docs_with_pii(spark, sf))
     q["dataset_split"] = lambda spark, sf: sampling.train_val_test_split(
         _t(spark, sf, "documents").select("doc_id")
     )
@@ -856,6 +874,30 @@ def oracle_sql() -> dict[str, str]:
         f"lang IN ({known_langs}) AS lang_ok, "
         f"(quality_keep AND doc_id = keeper_id AND lang IN ({known_langs})) AS kept "
         "FROM k"
+    )
+
+    from typhoon_ocr_spark.functions.textsql import (
+        PII_EMAIL_PATTERN,
+        PII_IP_PATTERN,
+        PII_PHONE_PATTERN,
+    )
+
+    scrub_expr = "text"
+    for pat, token in (
+        (PII_EMAIL_PATTERN, "<EMAIL>"),
+        (PII_IP_PATTERN, "<IP>"),
+        (PII_PHONE_PATTERN, "<PHONE>"),
+    ):
+        scrub_expr = f"regexp_replace({scrub_expr}, '{pat}', '{token}', 'g')"
+    sql["pii_scrub"] = (
+        "WITH t AS (SELECT doc_id, text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or +66 555-123-4567 at 10.0.0.' "
+        "|| CAST(doc_id % 256 AS VARCHAR) AS text FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{PII_EMAIL_PATTERN}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(text, '{PII_PHONE_PATTERN}')) AS BIGINT) AS n_phones, "
+        f"CAST(len(regexp_extract_all(text, '{PII_IP_PATTERN}')) AS BIGINT) AS n_ips, "
+        f"md5({scrub_expr}) AS scrubbed_md5 FROM t"
     )
 
     sql["top_bigram"] = (

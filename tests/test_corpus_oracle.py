@@ -32,6 +32,7 @@ CORPUS_QUERIES = [
     "gopher_quality",
     "top_bigram",
     "corpus_keep",
+    "pii_scrub",
     "ann_topk",
     "token_rollup",
     "page_explode",

@@ -109,3 +109,21 @@ def test_training_corpus_keep_single_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_pii_scrub_values(spark):
+    import hashlib
+
+    text = "mail a@b.co and c.d@e.org call +1 555-123-4567 ip 192.168.0.1 done"
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    (row,) = textstats.pii_scrub(docs).collect()
+    assert (row["n_emails"], row["n_phones"], row["n_ips"]) == (2, 1, 1)
+    expected = "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP> done"
+    assert row["scrubbed_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    # no false positives on clean text
+    clean = spark.createDataFrame([(8, "just words 3.5 here v1.2")],
+                                  "doc_id long, text string")
+    (r2,) = textstats.pii_scrub(clean).collect()
+    assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
+    assert r2["scrubbed_md5"] == hashlib.md5(
+        b"just words 3.5 here v1.2").hexdigest()

@@ -94,6 +94,20 @@ GOPHER_MAX_DUP_LINE_CHAR_PM = 200   # <=20% of chars in duplicate lines
 BULLET_PREFIXES = ("-", "*", "•")
 ELLIPSIS_SUFFIXES = ("...", "…")
 
+# PII scrubbing patterns (training-data hygiene stage). Java-regex and
+# RE2 compatible: no lookaround, ASCII \d, \b supported by both. The
+# phone pattern is deliberately a FIXED well-defined shape — the
+# operator contract is deterministic cross-engine scrubbing; widen per
+# deployment.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+PII_IP_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_REPLACEMENTS = (
+    (PII_EMAIL_PATTERN, "<EMAIL>"),
+    (PII_IP_PATTERN, "<IP>"),
+    (PII_PHONE_PATTERN, "<PHONE>"),
+)
+
 # URL splitter: (1) scheme, (2) host[:port], (3) path, (4) ?query,
 # (5) #fragment. Java-regex and RE2 compatible (no lookaround), shared
 # by operators/weburl.py and the DuckDB oracle twins.

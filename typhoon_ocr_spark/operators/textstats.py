@@ -254,6 +254,37 @@ def gopher_quality(
     )
 
 
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing (training-data hygiene): count and redact emails,
+    fixed-shape phone numbers, and IPv4 addresses. Pure JVM regex —
+    whole-stage codegen, map-only, no Python. Patterns live in
+    functions/textsql.py (Java-regex/RE2-compatible by construction).
+    Replacement order: email → ip → phone (disjoint match domains).
+    Output: (doc_id, n_emails, n_phones, n_ips, scrubbed_md5)."""
+    from ..functions.textsql import (
+        PII_EMAIL_PATTERN,
+        PII_IP_PATTERN,
+        PII_PHONE_PATTERN,
+        PII_REPLACEMENTS,
+    )
+
+    text = F.col(text_col)
+    scrubbed = text
+    for pattern, token in PII_REPLACEMENTS:
+        scrubbed = F.regexp_replace(scrubbed, pattern, token)
+
+    def count(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+    return documents.select(
+        "doc_id",
+        count(PII_EMAIL_PATTERN).alias("n_emails"),
+        count(PII_PHONE_PATTERN).alias("n_phones"),
+        count(PII_IP_PATTERN).alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 KNOWN_LANGS = ("en", "th")
 
 
