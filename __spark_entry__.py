@@ -222,6 +222,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_scrub"] = lambda spark, sf: textstats.pii_scrub(_docs_with_pii(spark, sf))
+
+    def _url_variants(spark, sf):
+        # each fixture url in three wild forms that canonicalize to the
+        # same page (plus a ?q=1 variant that must NOT collapse); the
+        # DuckDB twin unnests the identical list
+        p = _pages(spark, sf).select("url")
+        variants = F.array(
+            F.col("url"),
+            F.concat(
+                F.lit("HTTPS://www."),
+                F.regexp_replace(F.col("url"), r"^https://", ""),
+                F.lit("#frag"),
+            ),
+            F.concat(F.col("url"), F.lit("?q=1")),
+        )
+        return p.select(F.explode(variants).alias("url"))
+
+    q["url_dedup"] = lambda spark, sf: weburl.url_dedup(_url_variants(spark, sf))
     q["dataset_split"] = lambda spark, sf: sampling.train_val_test_split(
         _t(spark, sf, "documents").select("doc_id")
     )
@@ -366,21 +384,27 @@ def oracle_sql() -> dict[str, str]:
     )
     from typhoon_ocr_spark.functions.textsql import URL_PARTS_PATTERN
 
-    url_cte = (
-        "WITH u AS (SELECT url, "
-        f"lower(regexp_extract(url, '{URL_PARTS_PATTERN}', 1)) AS scheme, "
-        f"regexp_replace(lower(regexp_extract(url, '{URL_PARTS_PATTERN}', 2)), "
-        "'^www\\.', '') AS host_nw, "
-        f"regexp_extract(url, '{URL_PARTS_PATTERN}', 3) AS path, "
-        f"regexp_extract(url, '{URL_PARTS_PATTERN}', 4) AS query "
-        f"FROM read_parquet('{fx}/pages.parquet')), "
-        "h AS (SELECT url, scheme, "
-        "CASE WHEN scheme = '' THEN NULL "
-        " WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '') "
-        " WHEN scheme = 'https' THEN regexp_replace(host_nw, ':443$', '') "
-        " ELSE host_nw END AS host, "
-        "CASE WHEN path = '' THEN '/' ELSE path END AS path, query FROM u)"
-    )
+    def duck_url_norm_ctes(source: str) -> str:
+        """u/h CTE pair normalizing urls from ``source`` (table or CTE
+        name) — shared by url_normalize / host_rollup / url_dedup so
+        the canonicalization SQL has one definition."""
+        return (
+            "u AS (SELECT url, "
+            f"lower(regexp_extract(url, '{URL_PARTS_PATTERN}', 1)) AS scheme, "
+            f"regexp_replace(lower(regexp_extract(url, '{URL_PARTS_PATTERN}', 2)), "
+            "'^www\\.', '') AS host_nw, "
+            f"regexp_extract(url, '{URL_PARTS_PATTERN}', 3) AS path, "
+            f"regexp_extract(url, '{URL_PARTS_PATTERN}', 4) AS query "
+            f"FROM {source}), "
+            "h AS (SELECT url, scheme, "
+            "CASE WHEN scheme = '' THEN NULL "
+            " WHEN scheme = 'http' THEN regexp_replace(host_nw, ':80$', '') "
+            " WHEN scheme = 'https' THEN regexp_replace(host_nw, ':443$', '') "
+            " ELSE host_nw END AS host, "
+            "CASE WHEN path = '' THEN '/' ELSE path END AS path, query FROM u)"
+        )
+
+    url_cte = "WITH " + duck_url_norm_ctes(f"read_parquet('{fx}/pages.parquet')")
     sql["url_normalize"] = (
         f"{url_cte} SELECT url, CASE WHEN scheme = '' THEN NULL ELSE "
         "scheme || '://' || host || path || query END AS norm_url, "
@@ -390,6 +414,18 @@ def oracle_sql() -> dict[str, str]:
         f"{url_cte} SELECT host, CAST(count(*) AS BIGINT) AS n_pages, "
         "CAST(count(DISTINCT url) AS BIGINT) AS n_urls FROM h "
         "WHERE host IS NOT NULL GROUP BY host"
+    )
+    sql["url_dedup"] = (
+        "WITH v AS (SELECT unnest([url, "
+        "'HTTPS://www.' || regexp_replace(url, '^https://', '') || '#frag', "
+        "url || '?q=1']) AS url "
+        f"FROM read_parquet('{fx}/pages.parquet')), "
+        + duck_url_norm_ctes("v")
+        + ", n AS (SELECT url, CASE WHEN scheme = '' THEN NULL ELSE "
+        "scheme || '://' || host || path || query END AS norm_url FROM h) "
+        "SELECT norm_url, CAST(count(*) AS BIGINT) AS dup_count, "
+        "min(url) AS keeper_url FROM n WHERE norm_url IS NOT NULL "
+        "GROUP BY norm_url"
     )
     sql["kind_routing"] = (
         f"SELECT url, kind FROM read_parquet('{fx}/expected_docs.parquet')"

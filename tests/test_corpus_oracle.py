@@ -33,6 +33,9 @@ CORPUS_QUERIES = [
     "top_bigram",
     "corpus_keep",
     "pii_scrub",
+    # url_dedup pins the sf0.01 fixture pages path in its oracle SQL
+    # (like url_normalize/host_rollup) -> covered by the driver gate +
+    # tools/check_correctness.py, not here
     "ann_topk",
     "token_rollup",
     "page_explode",

@@ -127,3 +127,22 @@ def test_pii_scrub_values(spark):
     assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
     assert r2["scrubbed_md5"] == hashlib.md5(
         b"just words 3.5 here v1.2").hexdigest()
+
+
+def test_stats_operators_are_map_only(spark, tmp_path):
+    """repetition_stats / gopher_quality / pii_scrub claim map-only
+    scale shape — pin it: no Exchange in the physical plan (a shuffle
+    here would be a silent 100 TB regression)."""
+    docs = spark.createDataFrame(
+        [(1, DOC_MIXED, "en")], "doc_id long, text string, lang string"
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    src = spark.read.parquet(path)
+    for op in (
+        textstats.repetition_stats,
+        textstats.gopher_quality,
+        textstats.pii_scrub,
+    ):
+        plan = op(src)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, op.__name__

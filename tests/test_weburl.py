@@ -74,3 +74,23 @@ def test_host_rollup(spark):
     df = spark.createDataFrame(rows, "url string")
     got = {r["host"]: (r["n_pages"], r["n_urls"]) for r in weburl.host_rollup(df).collect()}
     assert got == {"a.test": (3, 2), "b.test": (1, 1)}
+
+
+def test_url_dedup_collapses_canonical_variants(spark):
+    from typhoon_ocr_spark.operators.weburl import url_dedup
+
+    rows = [
+        ("https://Example.com/a",),
+        ("HTTPS://www.example.com/a#frag",),
+        ("https://example.com:443/a",),
+        ("https://example.com/a?q=1",),   # query kept -> distinct page
+        ("not a url at all",),            # NULL canonical -> excluded
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["norm_url"]: r.asDict() for r in url_dedup(df).collect()}
+    assert set(got) == {"https://example.com/a", "https://example.com/a?q=1"}
+    base = got["https://example.com/a"]
+    assert base["dup_count"] == 3
+    # keeper is the lexicographic min RAW url of the group
+    assert base["keeper_url"] == "HTTPS://www.example.com/a#frag"
+    assert got["https://example.com/a?q=1"]["dup_count"] == 1

@@ -70,6 +70,25 @@ def url_normalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def url_dedup(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-level exact dedup by canonical URL — the first pass every
+    recrawl pipeline runs (the same page arrives as http/https, with
+    and without www., with fragments). One shuffle on norm_url with
+    map-side partial agg; keeper = lexicographic min raw url (ties
+    broken deterministically). Unparseable URLs (NULL canonical) are
+    excluded. Output: (norm_url, dup_count, keeper_url)."""
+    c = F.col(url_col)
+    return (
+        pages.select(normalized_url_col(c).alias("norm_url"), c.alias("url"))
+        .filter(F.col("norm_url").isNotNull())
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.min("url").alias("keeper_url"),
+        )
+    )
+
+
 def host_rollup(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """Pages per canonical host — the shard/politeness histogram every
     crawl pipeline starts from. Unparseable URLs (NULL host) are
