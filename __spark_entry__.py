@@ -331,6 +331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["image_resize"] = image_resize
+
+    def media_meta(spark, sf):
+        from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
+
+        frames = spark.read.parquet(
+            os.path.join(tier_dir_for_sf(sf), "media.parquet")
+        )
+        return multimodal.media_meta(frames)
+
+    q["media_meta"] = media_meta
     return q
 
 
@@ -1060,5 +1070,10 @@ def oracle_sql() -> dict[str, str]:
     sql["image_resize"] = (
         f"SELECT url, width, height, new_width, new_height, resized_sha, error "
         f"FROM read_parquet('{fx}/expected_resizes.parquet')"
+    )
+    sql["media_meta"] = (
+        "SELECT media_id, media_kind, sample_rate, channels, n_samples, "
+        "duration_ms, mean_pm, spread_pm, decoded "
+        f"FROM read_parquet('{fx}/expected_media.parquet')"
     )
     return sql

@@ -650,3 +650,64 @@ def test_vp8l_incomplete_prefix_code_rejected():
         _VP8LPrefixCode([2, 2, 2])  # incomplete
     # complete codes still build
     assert _VP8LPrefixCode([1, 2, 2]).max_len == 2
+
+
+# ---------------------------------------------------------------------------
+# Audio/video metadata (oracle/media.py + multimodal.media_meta)
+# ---------------------------------------------------------------------------
+
+def test_wav_decode_pixel_exact():
+    """WAV stats must equal an independent recomputation from the
+    synth formula (real decode, not a fake)."""
+    from typhoon_ocr_spark.oracle.media import (
+        synth_samples,
+        wav_stats,
+        write_wav,
+    )
+
+    rate, ch, n, dur, mean_pm, spread_pm = wav_stats(
+        write_wav(seed=9, n_frames=500, channels=2, rate=16000)
+    )
+    assert (rate, ch, n) == (16000, 2, 1000)
+    assert dur == round(1000 * 500 / 16000)
+    s = synth_samples(9, 500, 2)
+    assert mean_pm == round(1000 * (sum(abs(x) for x in s) / len(s)) / 32768)
+    assert spread_pm == round(1000 * (max(s) - min(s)) / 65535)
+
+
+def test_mp4_mvhd_versions():
+    from typhoon_ocr_spark.oracle.media import (
+        MediaError,
+        parse_mp4_meta,
+        write_mp4,
+    )
+    import struct as _struct
+
+    ts, units, dur = parse_mp4_meta(write_mp4(seed=4, duration_ms=12345))
+    assert dur == 12345 and units == round(12345 * ts / 1000)
+    # hand-built version-1 mvhd (64-bit fields)
+    body = bytes([1, 0, 0, 0]) + bytes(16) + _struct.pack(">IQ", 90000, 450000)
+    mvhd = _struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    moov = _struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = _struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    assert parse_mp4_meta(ftyp + moov) == (90000, 450000, 5000)
+    with pytest.raises(MediaError):
+        parse_mp4_meta(ftyp)  # no moov
+
+
+def test_media_meta_operator(spark):
+    from typhoon_ocr_spark.oracle.media import write_mp4, write_wav
+    from typhoon_ocr_spark.operators.multimodal import media_meta
+
+    rows = [
+        (1, bytearray(write_wav(seed=1, n_frames=400))),
+        (2, bytearray(write_mp4(seed=2, duration_ms=2500))),
+        (3, bytearray(write_wav(seed=3)[:45])),   # truncated -> error row
+        (4, bytearray(b"not media at all")),      # dropped
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in media_meta(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["decoded"] == "real" and got[1]["n_samples"] == 400
+    assert got[2]["decoded"] == "header-only" and got[2]["duration_ms"] == 2500
+    assert got[3]["decoded"] == "decode-error" and got[3]["n_samples"] is None

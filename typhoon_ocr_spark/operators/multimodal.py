@@ -2,10 +2,12 @@
 typed metadata.
 
 Image DECODE is real for PNG/GIF/baseline-JPEG/WebP-lossless
-(pure-stdlib codecs in oracle/images.py); lossy WebP and the
-audio/video FEATURE step remain clearly-marked stubs (a VP8/audio
-codec is out of scope in-sandbox) —
-the Spark-side plumbing around both is real and tested: schemas,
+(pure-stdlib codecs in oracle/images.py); audio metadata + PCM stats
+are real for WAV and video duration metadata for MP4 (oracle/media.py,
+see media_meta); lossy WebP, compressed-audio and video FRAME decode
+remain clearly-marked stubs (VP8/AAC/H.264 are out of scope
+in-sandbox) — the Spark-side plumbing around all of it is real and
+tested: schemas,
 mapInPandas batch shape, Arrow-safe binary handling, and the native
 dimension/frame arithmetic (which follows the reference's resize rule,
 /root/reference/packages/typhoon_ocr/typhoon_ocr/ocr_utils.py:467-494,
@@ -305,4 +307,51 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
         (F.col("doc_id") % 1060 + 20).cast("long").alias("height"),
         (F.col("doc_id") % 60000 + 1000).cast("long").alias("duration_ms"),
         F.lit("synthetic").alias("format"),
+    )
+
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_kind", StringType()),   # wav | mp4
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("mean_pm", LongType()),        # |PCM| per-mille
+        StructField("spread_pm", LongType()),
+        StructField("decoded", StringType()),      # real | header-only | decode-error
+    ]
+)
+
+
+def media_meta(frames: DataFrame) -> DataFrame:
+    """REAL audio/video metadata over opaque payloads: WAV decodes
+    fully (fmt header + PCM16 amplitude statistics), MP4 walks
+    ftyp/moov/mvhd for its duration (frame decode is a video codec —
+    out of scope, same contract as lossy WebP), malformed bodies
+    become decode-error rows, unrecognized payloads are dropped. Row
+    semantics live in oracle/media.media_meta_row — the single
+    function the fixture golden also runs. mapInPandas streams Arrow
+    batches; only (media_id, payload) enter the UDF.
+    Input: (media_id, payload). Output: MEDIA_META_SCHEMA."""
+    from ..oracle.media import media_meta_row
+
+    cols = ("media_kind", "sample_rate", "channels", "n_samples",
+            "duration_ms", "mean_pm", "spread_pm", "decoded")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id",) + cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = media_meta_row(bytes(payload) if payload is not None else b"")
+                if row is None:
+                    continue
+                rows["media_id"].append(mid)
+                for name, val in zip(cols, row):
+                    rows[name].append(val)
+            yield pd.DataFrame(rows)
+
+    return frames.select("media_id", "payload").mapInPandas(
+        batches, MEDIA_META_SCHEMA
     )

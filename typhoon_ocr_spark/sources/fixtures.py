@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 13  # v13: widened-ftfy cohort split into repairable runs (cp1252 mojibake separate from multi-byte chars)
+CORPUS_VERSION = 14  # v14: + media.parquet/expected_media golden on expected tiers (pages payloads unchanged since v13)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -557,6 +557,46 @@ def planted_embeddings(
     ]
 
 
+def generate_media(n_rows: int):
+    """Deterministic audio/video table: WAV (real PCM16 synth, varied
+    rate/channels/length), MP4 shells (real mvhd duration), truncated
+    WAV bodies (decode-error path), and non-media junk (dropped by the
+    operator). Returns ({media_id, payload}, golden pa.Table)."""
+    from ..oracle.media import media_meta_row, write_mp4, write_wav
+
+    media_ids, payloads = [], []
+    meta_cols = ("media_kind", "sample_rate", "channels", "n_samples",
+                 "duration_ms", "mean_pm", "spread_pm", "decoded")
+    golden = {k: [] for k in ("media_id",) + meta_cols}
+    for i in range(n_rows):
+        mod = i % 10
+        if mod < 5:
+            payload = write_wav(seed=i, n_frames=200 + (i * 37) % 1400,
+                                channels=1 + i % 2,
+                                rate=(8000, 16000, 44100)[i % 3])
+        elif mod < 8:
+            payload = write_mp4(seed=i, duration_ms=500 + (i * 911) % 60000)
+        elif mod == 8:
+            payload = write_wav(seed=i)[: 40 + i % 50]  # truncated
+        else:
+            payload = b"junk-not-media-%d" % i
+        media_ids.append(i)
+        payloads.append(payload)
+        row = media_meta_row(payload)
+        if row is not None:
+            golden["media_id"].append(i)
+            for name, val in zip(meta_cols, row):
+                golden[name].append(val)
+    frame = {"media_id": media_ids, "payload": payloads}
+    schema = pa.schema([("media_id", pa.int64()), ("payload", pa.binary())])
+    golden_schema = pa.schema(
+        [("media_id", pa.int64()), ("media_kind", pa.string())]
+        + [(c, pa.int64()) for c in meta_cols[1:-1]]
+        + [("decoded", pa.string())]
+    )
+    return pa.table(frame, schema=schema), pa.table(golden, schema=golden_schema)
+
+
 def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
     cfg = TIERS[tier]
     out_dir = os.path.join(out_root, f"pages_{tier}")
@@ -595,6 +635,9 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         pq.write_table(
             compute_expected_messages(pages), os.path.join(out_dir, "expected_messages.parquet")
         )
+        media_tbl, media_golden = generate_media(max(60, cfg["docs"] // 10))
+        pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))
+        pq.write_table(media_golden, os.path.join(out_dir, "expected_media.parquet"))
     pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
     pq.write_table(pa.table(markdown_cases()), os.path.join(out_dir, "markdown_cases.parquet"))
     pq.write_table(pa.table(base64_cases()), os.path.join(out_dir, "base64_cases.parquet"))
