@@ -332,15 +332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_resize"] = image_resize
 
-    def media_meta(spark, sf):
-        from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
-
-        frames = spark.read.parquet(
-            os.path.join(tier_dir_for_sf(sf), "media.parquet")
-        )
-        return multimodal.media_meta(frames)
-
-    q["media_meta"] = media_meta
+    q["media_meta"] = lambda spark, sf: multimodal.media_meta(
+        _fixture(spark, sf, "media")
+    )
     return q
 
 
@@ -922,27 +916,27 @@ def oracle_sql() -> dict[str, str]:
         "FROM k"
     )
 
-    from typhoon_ocr_spark.functions.textsql import (
-        PII_EMAIL_PATTERN,
-        PII_IP_PATTERN,
-        PII_PHONE_PATTERN,
-    )
+    from typhoon_ocr_spark.functions.textsql import PII_REPLACEMENTS
 
+    # counts and replacements both follow PII_REPLACEMENTS order — a
+    # count is taken on the text AFTER the earlier categories were
+    # already redacted, so each count equals the number of tokens of
+    # that category in the final scrubbed text (mirrors
+    # textstats.pii_scrub exactly; single source of truth)
+    count_names = {"<EMAIL>": "n_emails", "<IP>": "n_ips", "<PHONE>": "n_phones"}
     scrub_expr = "text"
-    for pat, token in (
-        (PII_EMAIL_PATTERN, "<EMAIL>"),
-        (PII_IP_PATTERN, "<IP>"),
-        (PII_PHONE_PATTERN, "<PHONE>"),
-    ):
+    count_cols = []
+    for pat, token in PII_REPLACEMENTS:
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({scrub_expr}, '{pat}')) AS BIGINT) "
+            f"AS {count_names[token]}"
+        )
         scrub_expr = f"regexp_replace({scrub_expr}, '{pat}', '{token}', 'g')"
     sql["pii_scrub"] = (
         "WITH t AS (SELECT doc_id, text || ' contact user' || "
         "CAST(doc_id AS VARCHAR) || '@example.com or +66 555-123-4567 at 10.0.0.' "
         "|| CAST(doc_id % 256 AS VARCHAR) AS text FROM documents) "
-        "SELECT doc_id, "
-        f"CAST(len(regexp_extract_all(text, '{PII_EMAIL_PATTERN}')) AS BIGINT) AS n_emails, "
-        f"CAST(len(regexp_extract_all(text, '{PII_PHONE_PATTERN}')) AS BIGINT) AS n_phones, "
-        f"CAST(len(regexp_extract_all(text, '{PII_IP_PATTERN}')) AS BIGINT) AS n_ips, "
+        "SELECT doc_id, " + ", ".join(count_cols) + ", "
         f"md5({scrub_expr}) AS scrubbed_md5 FROM t"
     )
 

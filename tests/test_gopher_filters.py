@@ -127,6 +127,13 @@ def test_pii_scrub_values(spark):
     assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
     assert r2["scrubbed_md5"] == hashlib.md5(
         b"just words 3.5 here v1.2").hexdigest()
+    # staged counts: a dotted-quad email domain counts ONCE (as email),
+    # never again as an IP inside it — counts match the redactions
+    overlap = spark.createDataFrame([(9, "mail a@10.0.0.5.com now")],
+                                    "doc_id long, text string")
+    (r3,) = textstats.pii_scrub(overlap).collect()
+    assert (r3["n_emails"], r3["n_ips"]) == (1, 0)
+    assert r3["scrubbed_md5"] == hashlib.md5(b"mail <EMAIL> now").hexdigest()
 
 
 def test_stats_operators_are_map_only(spark, tmp_path):

@@ -337,8 +337,10 @@ def media_meta(frames: DataFrame) -> DataFrame:
     Input: (media_id, payload). Output: MEDIA_META_SCHEMA."""
     from ..oracle.media import media_meta_row
 
-    cols = ("media_kind", "sample_rate", "channels", "n_samples",
-            "duration_ms", "mean_pm", "spread_pm", "decoded")
+    # single definition: the schema drives the column order here AND
+    # in fixtures.generate_media's golden (review: three hand-kept
+    # copies would silently misalign zip(cols, row))
+    cols = tuple(f.name for f in MEDIA_META_SCHEMA.fields[1:])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -257,30 +257,29 @@ def gopher_quality(
 def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """PII scrubbing (training-data hygiene): count and redact emails,
     fixed-shape phone numbers, and IPv4 addresses. Pure JVM regex —
-    whole-stage codegen, map-only, no Python. Patterns live in
-    functions/textsql.py (Java-regex/RE2-compatible by construction).
-    Replacement order: email → ip → phone (disjoint match domains).
+    whole-stage codegen, map-only, no Python. Patterns + order live in
+    functions/textsql.py PII_REPLACEMENTS (Java-regex/RE2-compatible).
+    Each category is counted on the text AFTER the earlier categories
+    were redacted, so every count equals the number of its tokens in
+    the final scrubbed text — an email with a dotted-quad domain
+    ('a@10.0.0.5.com') counts once as email, never again as IP.
     Output: (doc_id, n_emails, n_phones, n_ips, scrubbed_md5)."""
-    from ..functions.textsql import (
-        PII_EMAIL_PATTERN,
-        PII_IP_PATTERN,
-        PII_PHONE_PATTERN,
-        PII_REPLACEMENTS,
-    )
+    from ..functions.textsql import PII_REPLACEMENTS
 
-    text = F.col(text_col)
-    scrubbed = text
+    count_names = {"<EMAIL>": "n_emails", "<IP>": "n_ips", "<PHONE>": "n_phones"}
+    scrubbed = F.col(text_col)
+    counts = {}
     for pattern, token in PII_REPLACEMENTS:
+        counts[count_names[token]] = (
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pattern), 0)).cast("long")
+        )
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
-
-    def count(pattern: str) -> Column:
-        return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
 
     return documents.select(
         "doc_id",
-        count(PII_EMAIL_PATTERN).alias("n_emails"),
-        count(PII_PHONE_PATTERN).alias("n_phones"),
-        count(PII_IP_PATTERN).alias("n_ips"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
 

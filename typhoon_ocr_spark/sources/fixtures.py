@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 14  # v14: + media.parquet/expected_media golden on expected tiers (pages payloads unchanged since v13)
+CORPUS_VERSION = 15  # v15: media.parquet on ALL tiers (bench tiers included; pages payloads unchanged since v13)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -563,10 +563,10 @@ def generate_media(n_rows: int):
     WAV bodies (decode-error path), and non-media junk (dropped by the
     operator). Returns ({media_id, payload}, golden pa.Table)."""
     from ..oracle.media import media_meta_row, write_mp4, write_wav
+    from ..operators.multimodal import MEDIA_META_SCHEMA
 
     media_ids, payloads = [], []
-    meta_cols = ("media_kind", "sample_rate", "channels", "n_samples",
-                 "duration_ms", "mean_pm", "spread_pm", "decoded")
+    meta_cols = tuple(f.name for f in MEDIA_META_SCHEMA.fields[1:])
     golden = {k: [] for k in ("media_id",) + meta_cols}
     for i in range(n_rows):
         mod = i % 10
@@ -590,9 +590,11 @@ def generate_media(n_rows: int):
     frame = {"media_id": media_ids, "payload": payloads}
     schema = pa.schema([("media_id", pa.int64()), ("payload", pa.binary())])
     golden_schema = pa.schema(
-        [("media_id", pa.int64()), ("media_kind", pa.string())]
-        + [(c, pa.int64()) for c in meta_cols[1:-1]]
-        + [("decoded", pa.string())]
+        [("media_id", pa.int64())]
+        + [
+            (f.name, pa.string() if f.dataType.simpleString() == "string" else pa.int64())
+            for f in MEDIA_META_SCHEMA.fields[1:]
+        ]
     )
     return pa.table(frame, schema=schema), pa.table(golden, schema=golden_schema)
 
@@ -635,8 +637,12 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         pq.write_table(
             compute_expected_messages(pages), os.path.join(out_dir, "expected_messages.parquet")
         )
-        media_tbl, media_golden = generate_media(max(60, cfg["docs"] // 10))
-        pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))
+    # media.parquet exists on EVERY tier (queries()['media_meta'] must
+    # run at the bench tiers too — round-3 review); the golden only
+    # where expected tables live
+    media_tbl, media_golden = generate_media(max(60, cfg["docs"] // 10))
+    pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))
+    if cfg["expected"]:
         pq.write_table(media_golden, os.path.join(out_dir, "expected_media.parquet"))
     pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
     pq.write_table(pa.table(markdown_cases()), os.path.join(out_dir, "markdown_cases.parquet"))
