@@ -335,6 +335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_meta"] = lambda spark, sf: multimodal.media_meta(
         _fixture(spark, sf, "media")
     )
+    q["frame_plan"] = lambda spark, sf: multimodal.frame_plan(
+        multimodal.media_meta(_fixture(spark, sf, "media"))
+    )
     return q
 
 
@@ -1069,5 +1072,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT media_id, media_kind, sample_rate, channels, n_samples, "
         "duration_ms, mean_pm, spread_pm, decoded "
         f"FROM read_parquet('{fx}/expected_media.parquet')"
+    )
+    # frame plan: 1 fps, cap 64 — floor division mirrors Spark's
+    # cast-to-long truncation (positive durations only)
+    sql["frame_plan"] = (
+        "WITH m AS (SELECT media_id, "
+        " least(CAST(floor(duration_ms / 1000.0) AS BIGINT), 64) AS n "
+        f" FROM read_parquet('{fx}/expected_media.parquet') "
+        " WHERE media_kind = 'mp4' AND duration_ms IS NOT NULL) "
+        "SELECT media_id, CAST(unnest(generate_series(0, n - 1)) AS BIGINT) "
+        "AS frame_idx FROM m WHERE n > 0"
     )
     return sql

@@ -711,3 +711,22 @@ def test_media_meta_operator(spark):
     assert got[1]["decoded"] == "real" and got[1]["n_samples"] == 400
     assert got[2]["decoded"] == "header-only" and got[2]["duration_ms"] == 2500
     assert got[3]["decoded"] == "decode-error" and got[3]["n_samples"] is None
+
+
+def test_frame_plan_values(spark):
+    from typhoon_ocr_spark.oracle.media import write_mp4, write_wav
+    from typhoon_ocr_spark.operators.multimodal import frame_plan, media_meta
+
+    rows = [
+        (1, bytearray(write_mp4(seed=0, duration_ms=3500))),   # 3 frames
+        (2, bytearray(write_mp4(seed=1, duration_ms=500))),    # 0 frames
+        (3, bytearray(write_mp4(seed=2, duration_ms=120000))), # capped at 64
+        (4, bytearray(write_wav(seed=4))),                     # audio: excluded
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {}
+    for r in frame_plan(media_meta(df)).collect():
+        got.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(got) == [1, 3]
+    assert sorted(got[1]) == [0, 1, 2]
+    assert sorted(got[3]) == list(range(64))

@@ -357,3 +357,21 @@ def media_meta(frames: DataFrame) -> DataFrame:
     return frames.select("media_id", "payload").mapInPandas(
         batches, MEDIA_META_SCHEMA
     )
+
+
+def frame_plan(meta: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Frame-sampling plan over video metadata rows (the stage between
+    metadata probe and the — codec-stubbed — frame extractor): one
+    frame index per 1/fps seconds, capped at 64, computed natively
+    (sequence + explode; no Python). Input: media_meta() output.
+    Output: (media_id, frame_idx); videos shorter than one period
+    produce no rows."""
+    rows = meta.filter(
+        (F.col("media_kind") == "mp4") & F.col("duration_ms").isNotNull()
+    )
+    return rows.select(
+        "media_id",
+        F.explode(frame_sample_indices(F.col("duration_ms"), fps)).alias(
+            "frame_idx"
+        ),
+    )
