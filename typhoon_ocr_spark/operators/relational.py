@@ -153,18 +153,22 @@ def revenue_by_nation(
 def top_open_orders(orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
     """Q3-shaped join + filter + deterministic top-k: largest open
     orders in the BUILDING segment, ties by orderkey.
+
+    orderBy(...).limit(k) plans TakeOrderedAndProject: each task keeps a
+    local top-k heap and only k rows per partition reach the driver-side
+    merge — unlike a row_number() over an unpartitioned window, which
+    would funnel every surviving row through one task's sort at scale.
     Output: (o_orderkey, c_custkey, total_cents)."""
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("o_orderstatus") != "F"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
         .select(
             "o_orderkey",
             "c_custkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
         )
+        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+        .limit(k)
     )
 
 
