@@ -570,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         IVF_CENTROID_EVERY,
         IVF_PROBES,
         NEAR_DUP_COSINE,
+        PQ_RERANK_C,
         lsh_plane_signs,
     )
 
@@ -743,9 +744,21 @@ def oracle_sql() -> dict[str, str]:
         "cs AS (SELECT sc.query_id, sc.neighbor_id, "
         " CAST(round(sc.num / (qn.qn * sqrt(sc.rn2)) * 1000000) AS BIGINT) AS score_u"
         " FROM sc JOIN qn ON sc.query_id = qn.query_id), "
+        # ADC candidate cut (top-C by quantized score) then exact
+        # cosine re-rank of only those C ids — the engine's two-stage
+        # shape, mirrored
+        "cd AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        " PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS rnc FROM cs), "
+        f"cf AS (SELECT query_id, neighbor_id FROM cd WHERE rnc <= {PQ_RERANK_C}), "
+        "ex AS (SELECT cf.query_id, cf.neighbor_id, "
+        " CAST(round(list_dot_product(nv.e, qv.e) / "
+        "  (sqrt(list_dot_product(nv.e, nv.e)) * sqrt(list_dot_product(qv.e, qv.e)))"
+        "  * 1000000) AS BIGINT) AS exact_u "
+        " FROM cf JOIN v nv ON cf.neighbor_id = nv.vec_id "
+        " JOIN v qv ON cf.query_id = qv.vec_id), "
         "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER ("
-        " PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS BIGINT) AS rank"
-        " FROM cs) "
+        " PARTITION BY query_id ORDER BY exact_u DESC, neighbor_id) AS BIGINT) AS rank"
+        " FROM ex) "
         f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
     )
 

@@ -70,10 +70,10 @@ def test_lsh_topk_recall_on_planted_cohorts(spark):
 
 
 def test_pq_adc_topk_recall_and_plan(spark):
-    """PQ/ADC search: cohort members share codes, so recall vs the
-    exact top-k is bounded by tie-breaking among equal-score mates
-    (expected ~0.7 on cohorts of 8 with k=5); the scan side must join
-    the broadcast LUT, never a cartesian."""
+    """PQ/ADC search with exact re-rank: cohort members share codes so
+    raw ADC scores tie (~0.7 recall alone), but the top-C exact-cosine
+    re-rank recovers the true order — recall must be >=0.95; the scan
+    side must join the broadcast LUT, never a cartesian."""
     from typhoon_ocr_spark.sources.fixtures import planted_embeddings
 
     rows = planted_embeddings(800, dims=64, cohort_size=8, noise=0.15)
@@ -85,7 +85,7 @@ def test_pq_adc_topk_recall_and_plan(spark):
     approx = {(r[0], r[2]) for r in df.collect()}
     assert exact
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.6
+    assert recall >= 0.95
     # every neighbor is a genuine cohort-mate of its query (codes of
     # different cohorts differ; cross-cohort scores rank far below)
     assert all(q // 8 == n // 8 for q, n in approx)

@@ -376,6 +376,12 @@ IVF_CENTROID_EVERY = 50
 # per-subspace lookup tables of query-to-centroid dots, summed).
 PQ_SUBSPACES = 4
 
+# ADC quantization loses within-cohort order (cohort-mates share codes,
+# so their ADC scores tie); production PQ pipelines close that gap with
+# an exact re-rank of the top-C ADC candidates — only C vectors per
+# query ever move, the code-only scan is unchanged.
+PQ_RERANK_C = 64
+
 
 def _l2(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -446,6 +452,7 @@ def pq_adc_topk(
     n_sub: int = PQ_SUBSPACES,
     query_every: int = ANN_QUERY_EVERY,
     k: int = ANN_TOP_K,
+    rerank_c: int = PQ_RERANK_C,
 ) -> DataFrame:
     """PQ search via ADC: queries build per-subspace lookup tables of
     (query-sub · centroid-sub) inner products plus the centroids'
@@ -457,9 +464,15 @@ def pq_adc_topk(
     summed centroid norms, still computable from codes alone (an
     unnormalized dot would systematically favor large-norm vectors over
     true cosine neighbors). The scan side touches only (vec_id, m,
-    code) — never raw vectors. Ranking uses the cosine rounded to
-    micro-units (BIGINT) so FP summation order can't flip equal-score
-    neighbors; ties break by neighbor id.
+    code) — never raw vectors.
+
+    Ranking is two-stage (the standard production ADC shape): the code
+    scan keeps the top ``rerank_c`` candidates per query by ADC score,
+    then ONLY those C·Q ids come back for their raw vectors and are
+    re-ranked by exact cosine — ADC score ties among cohort-mates
+    (vectors sharing codes) can no longer scramble the final top-k.
+    Both scores are rounded to micro-units (BIGINT) so FP summation
+    order can't flip equal-score neighbors; ties break by neighbor id.
     Output: (query_id, rank, neighbor_id)."""
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     v = embeddings.select("vec_id", e.alias("e"))
@@ -494,9 +507,38 @@ def pq_adc_topk(
             .cast("long").alias("score_u"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), F.asc("vec_id"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("score_u"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rnc", F.row_number().over(wc))
+        .filter(F.col("rnc") <= rerank_c)
+        .select("query_id", "vec_id")
+    )
+    # Exact re-rank: the candidate list is hard-capped at C rows per
+    # query by the row_number cut above, so broadcasting it turns the
+    # raw-vector fetch into a map-side hash join against the embedding
+    # scan — the big side still never shuffles. (At 10^12 scale the
+    # driver batches queries, keeping C·Q bounded — same contract as
+    # the broadcast LUT.)
+    qfull = (
+        v.filter(F.col("vec_id") % query_every == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    )
+    exact = (
+        v.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qfull), "query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(
+                _dot(F.col("e"), F.col("qe"))
+                / (F.sqrt(_dot(F.col("e"), F.col("e")))
+                   * F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+                * 1e6
+            ).cast("long").alias("exact_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("exact_u"), F.asc("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"),
                 F.col("vec_id").alias("neighbor_id"))
