@@ -313,9 +313,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["media_resize"] = media_resize
-    q["media_features"] = lambda spark, sf: multimodal.extract_media_features(
-        multimodal.media_from_documents(_t(spark, sf, "documents"))
-    ).select("media_id", "payload_sha", "n_bytes")
+    # real-decode features over the raster rows of the pages corpus:
+    # the oracle twin checks the FULL pixel-statistic vector (per-mille
+    # quantized with floor(x*1000+0.5) — identical arithmetic both
+    # sides), not just sha plumbing
+    q["media_features"] = lambda spark, sf: multimodal.page_image_features(
+        _pages(spark, sf)
+    ).select(
+        "url",
+        "payload_sha",
+        "n_bytes",
+        F.transform(
+            F.col("features"), lambda x: F.floor(x * 1000 + 0.5).cast("long")
+        ).alias("features_pm"),
+    )
     q["image_pixel_stats"] = lambda spark, sf: multimodal.image_pixel_stats(
         _pages(spark, sf)
     )
@@ -1097,8 +1108,8 @@ def oracle_sql() -> dict[str, str]:
         "CAST(least(CAST(floor(dur / 1000.0) AS BIGINT), 64) AS BIGINT) AS n_frames FROM m"
     )
     sql["media_features"] = (
-        "SELECT doc_id AS media_id, sha256(text) AS payload_sha, "
-        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+        "SELECT url, payload_sha, n_bytes, features_pm "
+        f"FROM read_parquet('{fx}/expected_features.parquet')"
     )
     sql["image_pixel_stats"] = (
         f"SELECT url, img_kind, width, height, n_samples, mean_pm, spread_pm, decoded "

@@ -47,7 +47,9 @@ CORPUS_QUERIES = [
     "events_hourly",
     "sessionize",
     "media_resize",
-    "media_features",
+    # media_features pins the sf0.01 fixture golden in its oracle SQL
+    # (like image_* / media_meta) -> covered by the driver gate +
+    # tools/check_correctness.py, not here
     # image_resize / image_pixel_stats pin the sf0.01 fixture golden in
     # their oracle SQL -> covered by the driver gate + check_correctness
     "simhash_near_dups",

@@ -365,6 +365,32 @@ def test_media_features_real_for_decodable_fake_otherwise(spark):
         assert 0.0 <= f[0] <= 1.0 and f[2] == 1.0  # mean, square aspect
     for mid in (3, 5):  # text + lossy WebP: sha fake, marker absent
         assert got[mid][-1] != 1.0
+    # pixel-derived, not sha-derived: the real vector must differ from
+    # what the sha fallback would have produced for the same payload
+    from typhoon_ocr_spark.operators.multimodal import _fake_decode_features
+
+    assert got[1] != _fake_decode_features(bytes(rows[0][1]))
+
+
+def test_page_image_features_matches_golden(spark, fixture_dir):
+    """page_image_features (the driver-gated media_features query) must
+    reproduce the fixture golden exactly — vectors included."""
+    import math
+    import os
+
+    from typhoon_ocr_spark.operators.multimodal import page_image_features
+
+    pages = spark.read.parquet(os.path.join(fixture_dir, "pages.parquet"))
+    got = {
+        r["url"]: [int(math.floor(x * 1000 + 0.5)) for x in r["features"]]
+        for r in page_image_features(pages).collect()
+    }
+    golden = spark.read.parquet(os.path.join(fixture_dir, "expected_features.parquet"))
+    exp = {r["url"]: list(r["features_pm"]) for r in golden.collect()}
+    assert got == exp and len(got) > 5
+    # every fixture raster decodes for real except the lossy-VP8 shells
+    real = [v for v in got.values() if v[-1] == 1000]
+    assert len(real) > len(got) * 0.6
 
 
 def test_image_pixel_stats_operator(spark):

@@ -180,6 +180,45 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
 
 
+PAGE_FEATURE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("payload_sha", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def page_image_features(pages: DataFrame) -> DataFrame:
+    """Feature extraction over the RASTER rows of a pages corpus — the
+    real-decode twin of extract_media_features: every payload here is
+    an actual PNG/GIF/JPEG/WebP, so the vectors are pixel statistics
+    (mean, spread, aspect, quadrant means, 1.0 marker) from the stdlib
+    codecs, not the sha fallback; only header-only WebP shells (lossy
+    VP8) fall back, visibly (marker absent). Same Arrow-batch shape:
+    only url+payload enter the UDF.
+    Output: (url, payload_sha, n_bytes, features[8])."""
+    from ..functions.udfs import sniff_kind_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "payload_sha": [hashlib.sha256(p).hexdigest() for p in payloads],
+                    "n_bytes": [len(p) for p in payloads],
+                    "features": [_decode_features(p) for p in payloads],
+                }
+            )
+
+    image_rows = pages.withColumn("kind", sniff_kind_col("html")).filter(
+        F.col("kind") == "image"
+    )
+    return image_rows.select("url", "html").mapInPandas(batches, PAGE_FEATURE_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = StructType(
     [
         StructField("url", StringType()),

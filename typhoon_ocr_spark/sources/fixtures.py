@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 15  # v15: media.parquet on ALL tiers (bench tiers included; pages payloads unchanged since v13)
+CORPUS_VERSION = 16  # v16: expected_features.parquet golden (pages payloads unchanged since v13)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -317,6 +317,39 @@ def compute_expected_images(pages: Dict[str, list]) -> pa.Table:
             ("mean_pm", pa.int64()),
             ("spread_pm", pa.int64()),
             ("decoded", pa.string()),
+        ]
+    )
+    return pa.table(rows, schema=schema)
+
+
+def compute_expected_features(pages: Dict[str, list]) -> pa.Table:
+    """Golden for the feature-vector real-decode path (operators/
+    multimodal.page_image_features): pixel-statistic vectors for every
+    raster row, computed by the same _decode_features the UDF runs,
+    quantized to per-mille BIGINTs (floor(x*1000 + 0.5) — identical
+    arithmetic on both sides; never round(), whose half-even ties
+    differ between Python and Spark SQL)."""
+    import hashlib as _hl
+    import math
+
+    from ..operators.multimodal import _decode_features
+    from ..oracle.docpipe import sniff_kind
+
+    rows = {k: [] for k in ("url", "payload_sha", "n_bytes", "features_pm")}
+    for url, payload in zip(pages["url"], pages["html"]):
+        if sniff_kind(payload) != "image":
+            continue
+        feats = _decode_features(payload)
+        rows["url"].append(url)
+        rows["payload_sha"].append(_hl.sha256(payload).hexdigest())
+        rows["n_bytes"].append(len(payload))
+        rows["features_pm"].append([int(math.floor(x * 1000 + 0.5)) for x in feats])
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("payload_sha", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("features_pm", pa.list_(pa.int64())),
         ]
     )
     return pa.table(rows, schema=schema)
@@ -636,6 +669,9 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
         )
         pq.write_table(
             compute_expected_messages(pages), os.path.join(out_dir, "expected_messages.parquet")
+        )
+        pq.write_table(
+            compute_expected_features(pages), os.path.join(out_dir, "expected_features.parquet")
         )
     # media.parquet exists on EVERY tier (queries()['media_meta'] must
     # run at the bench tiers too — round-3 review); the golden only
