@@ -98,3 +98,75 @@ def test_base64_api_shape_and_determinism():
     assert b64a == b64b
     assert base64.b64decode(b64a).startswith(b"\x89PNG")
     assert render_pdf_to_base64png(data, 2) != b64a
+
+
+class TestThaiFace:
+    """Round-4: the Thai block renders through the feature-schematic
+    face — structured glyphs per codepoint, never md5 noise — and
+    combining marks shape over/under their base consonant."""
+
+    def test_every_thai_codepoint_distinct_and_deterministic(self):
+        from typhoon_ocr_spark.oracle.font import _THAI_SPECS, glyph_rows
+
+        seen = {}
+        for cp in sorted(_THAI_SPECS):
+            rows = glyph_rows(chr(cp))
+            assert rows == glyph_rows(chr(cp))  # deterministic
+            key = tuple(rows)
+            assert key not in seen, f"{hex(cp)} collides with {hex(seen[key])}"
+            seen[key] = cp
+            assert any("1" in r for r in rows)
+        # the whole spacing repertoire is covered: consonants, spacing
+        # vowels, signs, digits
+        assert len(seen) >= 70
+
+    def test_thai_not_md5_noise(self):
+        """A structural glyph, not a hash pattern: the arch-frame
+        consonants share their frame ink (ก ⊂ ค as bitmaps would never
+        happen for independent md5 draws)."""
+        from typhoon_ocr_spark.oracle.font import glyph_rows
+
+        ko_kai = glyph_rows("ก")    # plain arch
+        kho_khwai = glyph_rows("ค")  # arch + head
+        for r_plain, r_head in zip(ko_kai, kho_khwai):
+            for b_plain, b_head in zip(r_plain, r_head):
+                if b_plain == "1":
+                    assert b_head == "1"  # frame preserved under features
+        assert kho_khwai != ko_kai
+
+    def test_combining_marks_zero_advance_and_position(self):
+        from typhoon_ocr_spark.oracle.font import (
+            is_combining_above,
+            is_combining_below,
+        )
+
+        assert is_combining_above("้") and is_combining_below("ุ")
+        base = MiniPdfWriter()
+        base.add_page().text(100, 400, "กา")
+        marked = MiniPdfWriter()
+        marked.add_page().text(100, 400, "ก้า")  # tone mark over ก
+        w0, h0, p0 = render_page_bitmap(parse_pdf(base.build())[0], 400)
+        w1, h1, p1 = render_page_bitmap(parse_pdf(marked.build())[0], 400)
+        assert (w0, h0) == (w1, h1)
+        # zero advance: the baseline band (ก + า ink) is unchanged...
+        ink0 = {i for i, v in enumerate(p0) if v != 0xFF}
+        ink1 = {i for i, v in enumerate(p1) if v != 0xFF}
+        assert ink0 <= ink1
+        extra = ink1 - ink0
+        assert extra  # ...and the mark added ink
+        # every added pixel sits ABOVE all baseline ink (smaller row)
+        assert max(i // w1 for i in extra) < min(i // w0 for i in ink0)
+
+    def test_below_vowel_renders_under_base(self):
+        plain = MiniPdfWriter()
+        plain.add_page().text(100, 400, "ก")
+        below = MiniPdfWriter()
+        below.add_page().text(100, 400, "กุ")  # sara u under ก
+        w0, h0, p0 = render_page_bitmap(parse_pdf(plain.build())[0], 400)
+        w1, h1, p1 = render_page_bitmap(parse_pdf(below.build())[0], 400)
+        ink0 = {i for i, v in enumerate(p0) if v != 0xFF}
+        ink1 = {i for i, v in enumerate(p1) if v != 0xFF}
+        assert ink0 <= ink1
+        extra = ink1 - ink0
+        assert extra
+        assert min(i // w1 for i in extra) > max(i // w0 for i in ink0)

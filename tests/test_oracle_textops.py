@@ -119,3 +119,36 @@ class TestFixTextLite:
             fix_text_lite("\u201cquoted\u201d and \u2018single\u2019")
             == "\"quoted\" and 'single'"
         )
+
+
+class TestUnescapeHtmlAndByteA0:
+    """Round-4 ftfy additions: unescape_html='auto' + restore_byte_a0."""
+
+    def test_named_and_numeric_entities(self):
+        assert fix_text_lite("fish &amp; chips") == "fish & chips"
+        assert fix_text_lite("&#3652;&#x0E17;") == "ไท"
+        assert fix_text_lite("a &le; b &ge; c") == "a ≤ b ≥ c"
+
+    def test_auto_gate_skips_markup(self):
+        assert fix_text_lite("<b>fish &amp; chips</b>") == "<b>fish &amp; chips</b>"
+
+    def test_non_entities_pass_through(self):
+        assert fix_text_lite("AT&T &notreal; &# x") == "AT&T &notreal; &# x"
+
+    def test_unterminated_entity_kept(self):
+        # ftfy only decodes semicolon-terminated names
+        assert fix_text_lite("fish &amp chips") == "fish &amp chips"
+
+    def test_restore_byte_a0_two_byte(self):
+        corrupted = "voilà déjà".encode("utf-8").replace(b"\xa0", b" ").decode("latin-1")
+        assert fix_text_lite(corrupted) == "voilà déjà"
+
+    def test_restore_byte_a0_three_byte(self):
+        # Thai PHO SAMPHAO U+0E20 = e0 b8 a0; its a0 smashed to space
+        corrupted = "ภาค".encode("utf-8").replace(b"\xa0", b" ").decode("latin-1")
+        assert fix_text_lite(corrupted) == "ภาค"
+
+    def test_plain_spaces_never_rewritten(self):
+        # a space NOT inside a utf-8-shaped sequence stays a space
+        assert fix_text_lite("caf\xc3\xa9 et th\xc3\xa9") == "café et thé"
+        assert fix_text_lite("x y z") == "x y z"

@@ -68,6 +68,8 @@ def retrying_series_map(
     pressure = workers × max_in_flight, sized via executor cores."""
 
     def one(value):
+        if value is None:  # null request -> null response, no call:
+            return None    # lets a WHEN-gated column skip the endpoint
         try:
             return with_retries(
                 lambda: fn(value), attempts=attempts, retryable=retryable, sleep=sleep

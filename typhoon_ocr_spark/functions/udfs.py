@@ -457,4 +457,9 @@ def make_external_call_udf(
             max_in_flight=max_in_flight,
         )
 
-    return call_udf
+    # An external call IS nondeterministic — and declaring it stops
+    # Catalyst from inlining the expression into every downstream
+    # reference (CollapseProject would otherwise duplicate the call:
+    # parse(call(x)) + call(x) in one projection issued each HTTP
+    # request twice per row).
+    return call_udf.asNondeterministic()

@@ -198,3 +198,49 @@ def assemble_documents(page_frame: DataFrame) -> DataFrame:
 def extract_documents(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -> DataFrame:
     """End-to-end: pages table → per-document extracted text."""
     return assemble_documents(extract_pages(pages, config))
+
+
+def ocr_pages(
+    page_frame: DataFrame,
+    call_udf,
+    error_value: str = "<failed>",
+    task_type: str = "default",
+) -> DataFrame:
+    """The reference's per-page LLM loop as a page-frame transform
+    (``ocr_document``, ocr_utils.py:660-716: anchor → prompt →
+    endpoint call with bounded retries → response parse), composable
+    with extract_pages upstream and assemble_documents downstream.
+
+    Only successful pdf pages call the endpoint: their prompt column is
+    non-null, everything else carries null and the call UDF's
+    null-passthrough skips the request entirely (the WHEN can't gate
+    the call itself — Catalyst extracts pandas UDFs into their own
+    ArrowEvalPython node, which also guarantees ONE evaluation per row
+    however many expressions reference the response). Pages whose call
+    permanently fails become success=false rows with the error
+    recorded — error-as-row, never a task failure
+    (ocr_service.py:254-262)."""
+    from ..functions.udfs import parse_response_udf, render_prompt_udf
+
+    is_target = (F.col("kind") == "pdf") & F.col("success")
+    prompt = F.when(
+        is_target, render_prompt_udf(F.lit(task_type), F.col("anchor_text"))
+    )
+    with_resp = page_frame.withColumn("_resp", call_udf(prompt))
+    failed = F.col("_resp") == error_value
+    return (
+        with_resp.withColumn(
+            "text",
+            F.when(is_target & ~failed, parse_response_udf(F.col("_resp")))
+            .when(is_target & failed, F.lit(None).cast("string"))
+            .otherwise(F.col("text")),
+        )
+        .withColumn(
+            "error",
+            F.when(is_target & failed, F.lit("model call failed")).otherwise(
+                F.col("error")
+            ),
+        )
+        .withColumn("success", F.col("success") & ~F.coalesce(failed, F.lit(False)))
+        .drop("_resp")
+    )

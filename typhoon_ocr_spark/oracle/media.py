@@ -11,6 +11,10 @@ that REAL where stdlib allows:
 - MP4 (ISO BMFF): box walk to moov/mvhd for timescale + duration (the
   metadata every pipeline needs for frame-sampling plans); frame
   DECODE stays out of scope (video codecs), exactly like lossy WebP.
+- MP3 (MPEG-1/2/2.5 audio): ID3v2 skip + full frame-header walk —
+  version/layer/bitrate/sample-rate per frame, duration summed from
+  real per-frame sample counts (CBR and VBR alike). Entropy DECODE of
+  the audio (Huffman + IMDCT) stays out of scope, same contract.
 
 Writers at the bottom build deterministic fixture payloads. Error
 contract matches oracle/images.py: malformed payloads raise MediaError
@@ -29,7 +33,7 @@ class MediaError(ValueError):
 
 
 def sniff_media_kind(payload: Optional[bytes]) -> Optional[str]:
-    """'wav' | 'mp4' | None."""
+    """'wav' | 'mp4' | 'mp3' | None."""
     if payload is None:
         return None
     data = bytes(payload)
@@ -37,6 +41,12 @@ def sniff_media_kind(payload: Optional[bytes]) -> Optional[str]:
         return "wav"
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4"
+    if data[:3] == b"ID3":
+        return "mp3"
+    if len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+        # bare frame sync: accept only if the header fields are valid
+        if _mp3_header(data, 0) is not None:
+            return "mp3"
     return None
 
 
@@ -144,14 +154,110 @@ def parse_mp4_meta(payload: bytes) -> Tuple[int, int, int]:
     return timescale, duration, round(1000 * duration / timescale)
 
 
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio frame headers)
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, indexed [version_group][layer][bitrate_index];
+# index 0 = "free format" (unsupported here), 15 = invalid
+_MP3_BITRATES = {
+    # MPEG-1
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    # MPEG-2 / 2.5 share tables
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+
+def _mp3_header(data: bytes, pos: int):
+    """Validated frame header at pos → (frame_len, samples, sample_rate,
+    bitrate_kbps) or None."""
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3 = data[pos], data[pos + 1], data[pos + 2]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b2 >> 3) & 0x3      # 00=2.5, 01=reserved, 10=2, 11=1
+    layer_bits = (b2 >> 1) & 0x3    # 01=III, 10=II, 11=I
+    if ver_bits == 1 or layer_bits == 0:
+        return None
+    version = {0: "2.5", 2: "2", 3: "1"}[ver_bits]
+    layer = {1: 3, 2: 2, 3: 1}[layer_bits]
+    bitrate_idx = (b3 >> 4) & 0xF
+    rate_idx = (b3 >> 2) & 0x3
+    padding = (b3 >> 1) & 0x1
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None
+    vgroup = 1 if version == "1" else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][bitrate_idx] * 1000
+    sample_rate = _MP3_RATES[version][rate_idx]
+    if layer == 1:
+        samples = 384
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or vgroup == 1) else 576
+        coef = 144 if (layer == 2 or vgroup == 1) else 72
+        frame_len = coef * bitrate // sample_rate + padding
+    if frame_len < 4:
+        return None
+    return frame_len, samples, sample_rate, bitrate // 1000
+
+
+def parse_mp3_meta(payload: bytes) -> Tuple[int, int, int, int]:
+    """(sample_rate, n_frames, total_samples, duration_ms) from a full
+    frame-header walk. Skips a leading ID3v2 tag (syncsafe size), then
+    requires back-to-back valid frames — VBR streams sum per-frame
+    sample counts, so duration is exact without a Xing header. Trailing
+    bytes that aren't a frame sync end the walk (ID3v1 tail etc.)."""
+    data = bytes(payload)
+    pos = 0
+    if data[:3] == b"ID3":
+        if len(data) < 10:
+            raise MediaError("truncated ID3v2 header")
+        size = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = total_samples = 0
+    sample_rate = None
+    duration = 0.0
+    while pos + 4 <= len(data):
+        hdr = _mp3_header(data, pos)
+        if hdr is None:
+            break
+        frame_len, samples, rate, _kbps = hdr
+        if pos + frame_len > len(data):
+            if n_frames == 0:
+                raise MediaError("truncated MP3 frame")
+            break  # final partial frame: stop, keep what decoded
+        sample_rate = sample_rate or rate
+        n_frames += 1
+        total_samples += samples
+        duration += samples / rate
+        pos += frame_len
+    if n_frames == 0:
+        raise MediaError("no valid MPEG audio frames")
+    return sample_rate, n_frames, total_samples, round(duration * 1000)
+
+
 def media_meta_row(payload: bytes) -> Optional[Tuple]:
     """Shared per-payload row for the media-metadata surface (the
     Spark UDF and the fixture golden MUST run this same function):
     (media_kind, sample_rate, channels, n_samples, duration_ms,
     mean_pm, spread_pm, decoded) — decoded 'real' for WAV (PCM stats),
     'header-only' for MP4 (frame decode is a video codec, out of
-    scope), 'decode-error' when the body won't parse. None for
-    unrecognized payloads."""
+    scope) and MP3 (frame-header walk: real rate/samples/duration;
+    entropy decode out of scope), 'decode-error' when the body won't
+    parse. None for unrecognized payloads."""
     kind = sniff_media_kind(payload)
     if kind is None:
         return None
@@ -159,6 +265,9 @@ def media_meta_row(payload: bytes) -> Optional[Tuple]:
         if kind == "wav":
             rate, ch, n, dur, mean_pm, spread_pm = wav_stats(payload)
             return ("wav", rate, ch, n, dur, mean_pm, spread_pm, "real")
+        if kind == "mp3":
+            rate, _frames, n, dur = parse_mp3_meta(payload)
+            return ("mp3", rate, None, n, dur, None, None, "header-only")
         _ts, _units, dur = parse_mp4_meta(payload)
         return ("mp4", None, None, None, dur, None, None, "header-only")
     except MediaError:
@@ -190,6 +299,37 @@ def write_wav(seed: int = 0, n_frames: int = 800, channels: int = 1,
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def write_mp3(seed: int = 0, n_frames: int = 40, rate_idx: int = 0,
+              id3: bool = False, vbr: bool = False) -> bytes:
+    """Deterministic MPEG-1 Layer III stream: valid frame headers with
+    seed-derived (non-audio) payload bytes — exactly the surface the
+    header walk parses. ``vbr`` varies the bitrate index per frame so
+    the duration sum is exercised on non-constant streams; ``id3``
+    prepends a syncsafe-sized ID3v2 tag."""
+    out = bytearray()
+    if id3:
+        tag_body = (b"TAG%d" % seed) * 8
+        size = len(tag_body)
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        ) + tag_body
+    sample_rate = _MP3_RATES["1"][rate_idx]
+    for i in range(n_frames):
+        bitrate_idx = 9 if not vbr else 5 + ((seed + i) % 7)  # 128k / 64-160k
+        b2 = 0xE0 | (0x3 << 3) | (0x1 << 1) | 0x1  # MPEG-1, Layer III
+        padding = (seed + i) % 2
+        b3 = (bitrate_idx << 4) | (rate_idx << 2) | (padding << 1)
+        header = bytes([0xFF, b2, b3, 0xC4])
+        bitrate = _MP3_BITRATES[(1, 3)][bitrate_idx] * 1000
+        frame_len = 144 * bitrate // sample_rate + padding
+        body = bytes(
+            (seed * 131 + i * 17 + k * 7) % 251 for k in range(frame_len - 4)
+        )
+        out += header + body
+    return bytes(out)
 
 
 def write_mp4(seed: int = 0, duration_ms: int = 5000) -> bytes:

@@ -4,10 +4,12 @@ The reference renders pages to base64 PNG for the LLM via pdftoppm/
 pypdfium (`render_pdf_to_base64png`, ocr_utils.py:119-146) using the
 resolution formula ``target_longest * 72 / longest_dim``. No system
 font stack exists in this sandbox, so text runs rasterize through the
-engine's builtin deterministic 3x5 bitmap micro-font (oracle/font.py):
-each character draws its own glyph in a 6x12pt cell, so two pages that
-differ only in text differ in pixels (the round-2 renderer drew runs
-as solid boxes — equal-length runs were indistinguishable). Image
+engine's builtin deterministic 5x7 bitmap face (oracle/font.py):
+legible ASCII (distinct lowercase) plus a feature-schematic Thai face
+covering U+0E01-U+0E5B with shaped combining marks — each character
+draws its own glyph in a 6x12pt cell, so two pages that differ only in
+text differ in pixels (the round-2 renderer drew runs as solid boxes —
+equal-length runs were indistinguishable). Image
 placements render as gray boxes; background is white. Swap in pypdfium
 for typographically-true output; every byte after the bitmap (PNG
 encode, base64, prompt assembly) is production-real.
@@ -21,7 +23,13 @@ import base64
 from typing import Tuple
 
 from .elements import PageReport
-from .font import GLYPH_COLS, GLYPH_ROWS, glyph_rows
+from .font import (
+    GLYPH_COLS,
+    GLYPH_ROWS,
+    glyph_rows,
+    is_combining_above,
+    is_combining_below,
+)
 from .images import encode_png_gray
 from .pdfmini import parse_pdf
 
@@ -64,30 +72,43 @@ def render_page_bitmap(
         b = img.bbox
         fill(b.x0, b.y0, b.x1, b.y1, IMAGE_FILL)
 
-    # glyph rasterization: each char's 3x5 bitmap stretches over its
-    # 6x12pt cell; rows are y-up (font row 0 = TOP of the cell)
+    # glyph rasterization: each char's 5x7 bitmap stretches over its
+    # 6x12pt cell; rows are y-up (font row 0 = TOP of the cell). Thai
+    # combining marks (above vowels / tone marks / below vowels) carry
+    # ZERO advance and render over/under the preceding base cell — the
+    # same shaping a real rasterizer applies.
     cell_w = GLYPH_W_PT / GLYPH_COLS
     cell_h = GLYPH_H_PT / GLYPH_ROWS
+
+    def draw_glyph(ch: str, gx: float, gy: float) -> None:
+        rows = glyph_rows(ch)
+        for r in range(GLYPH_ROWS):
+            bits = rows[r]
+            if "1" not in bits:
+                continue
+            y0 = gy + (GLYPH_ROWS - 1 - r) * cell_h
+            for c in range(GLYPH_COLS):
+                if bits[c] == "1":
+                    fill(
+                        gx + c * cell_w,
+                        y0,
+                        gx + (c + 1) * cell_w,
+                        y0 + cell_h,
+                        TEXT_FILL,
+                    )
+
     for el in report.text_elements:
         if not el.text.strip():
             continue
-        for k, ch in enumerate(el.text):
-            rows = glyph_rows(ch)
-            gx = el.x + k * GLYPH_W_PT
-            for r in range(GLYPH_ROWS):
-                bits = rows[r]
-                if "1" not in bits:
-                    continue
-                y0 = el.y + (GLYPH_ROWS - 1 - r) * cell_h
-                for c in range(GLYPH_COLS):
-                    if bits[c] == "1":
-                        fill(
-                            gx + c * cell_w,
-                            y0,
-                            gx + (c + 1) * cell_w,
-                            y0 + cell_h,
-                            TEXT_FILL,
-                        )
+        pen = el.x
+        for ch in el.text:
+            if is_combining_above(ch):
+                draw_glyph(ch, pen - GLYPH_W_PT, el.y + GLYPH_H_PT)
+            elif is_combining_below(ch):
+                draw_glyph(ch, pen - GLYPH_W_PT, el.y - GLYPH_H_PT)
+            else:
+                draw_glyph(ch, pen, el.y)
+                pen += GLYPH_W_PT
     return width, height, bytes(canvas)
 
 

@@ -103,23 +103,97 @@ def _sloppy_1252_bytes(text: str):
     return bytes(out)
 
 
+# ftfy's ALTERED_UTF8_RE shape: utf-8 sequences where a 0xA0
+# continuation byte was "helpfully" rewritten to an ASCII space by some
+# earlier process ("byte A0, that's basically a space!"). Restoring the
+# A0 lets the sequence decode. Lead-byte sets cover the 2-byte leads
+# whose A0 continuation is a common letter plus all 3/4-byte leads.
+_ALTERED_UTF8_RE = re.compile(
+    b"[\xc2\xc3\xc5\xce\xcf\xd0\xd1\xd5\xd6\xdb][ ]"
+    b"|[\xe0-\xef][ ][\x80-\xbf]"
+    b"|[\xe0-\xef][\x80-\xbf][ ]"
+    b"|[\xf0-\xf4][ ][\x80-\xbf][\x80-\xbf]"
+    b"|[\xf0-\xf4][\x80-\xbf][ ][\x80-\xbf]"
+    b"|[\xf0-\xf4][\x80-\xbf][\x80-\xbf][ ]"
+)
+
+
+def restore_byte_a0(raw: bytes) -> bytes:
+    """ftfy's restore_byte_a0 (lite): put 0xA0 back where an ASCII
+    space sits inside an otherwise-convincing utf-8 sequence. Only
+    called when the bytes fail to decode as-is, so it can never touch
+    text that was already fine."""
+    return _ALTERED_UTF8_RE.sub(
+        lambda m: m.group(0).replace(b"\x20", b"\xa0"), raw
+    )
+
+
 def _fix_encoding_once(text: str) -> str:
     """One mojibake-repair pass: if the text could be utf-8 bytes that
     were mis-decoded as latin-1 OR windows-1252, return the re-decoded
     string (accepted only when different and actually non-ASCII).
     The sloppy-1252 inverse covers BOTH mis-decodings: latin-1 puts
     utf-8 continuation bytes at C1 controls (0x80-0x9F branch),
-    windows-1252 puts them at its graphics block (inverse table)."""
+    windows-1252 puts them at its graphics block (inverse table).
+    When the bytes don't decode outright, a restore_byte_a0 pass gets
+    one retry (space-for-NBSP corruption inside the mojibake)."""
     raw = _sloppy_1252_bytes(text)
     if raw is None:
         return text
     try:
         candidate = raw.decode("utf-8")
     except UnicodeDecodeError:
-        return text
+        restored = restore_byte_a0(raw)
+        if restored == raw:
+            return text
+        try:
+            candidate = restored.decode("utf-8")
+        except UnicodeDecodeError:
+            return text
     if candidate != text and any(ord(ch) > 127 for ch in candidate):
         return candidate
     return text
+
+
+# ftfy's unescape_html: the HTML5 named-entity table (stdlib
+# html.entities.html5, semicolon-terminated names only) plus numeric
+# character references; anything unrecognized passes through untouched.
+_HTML_ENTITY_RE = re.compile(r"&#?\w{0,24};")
+
+
+def _html5_entities():
+    import html.entities
+
+    return {
+        "&" + name: value
+        for name, value in html.entities.html5.items()
+        if name.endswith(";")
+    }
+
+
+_HTML_ENTITIES = _html5_entities()
+
+
+def _unescape_entity(match: "re.Match[str]") -> str:
+    import html as _html
+
+    text = match.group(0)
+    if text in _HTML_ENTITIES:
+        return _HTML_ENTITIES[text]
+    if text.startswith("&#"):
+        unescaped = _html.unescape(text)
+        # html.unescape leaves invalid references alone; keep those
+        if ";" not in unescaped:
+            return unescaped
+    return text
+
+
+def unescape_html_lite(text: str) -> str:
+    """ftfy's unescape_html fixer: decode semicolon-terminated HTML5
+    named entities and numeric character references. Callers apply
+    ftfy's 'auto' gate (skip text containing '<' — that's markup, and
+    unescaping real markup would corrupt it)."""
+    return _HTML_ENTITY_RE.sub(_unescape_entity, text)
 
 
 def fix_text_lite(text: str) -> str:
@@ -136,11 +210,16 @@ def fix_text_lite(text: str) -> str:
     - fix_character_width: full-width ASCII + ideographic space fold
     - uncurl_quotes: ‘ ’ “ ” -> straight quotes
     - NFC normalization (ftfy's default normalization)
+    - unescape_html='auto' (round 4): HTML5 named + numeric entities
+      decode UNLESS the text contains '<' (looks like real markup)
+    - restore_byte_a0 (round 4): space-for-NBSP corruption inside
+      mojibake utf-8 sequences restored before the decode retry
 
-    NOT reproduced (documented): unescape_html='auto',
-    restore_byte_a0, replace_lossy_sequences, decode_inconsistent_utf8
-    — fixture text avoids those cases; plain ASCII and Thai pass
-    through untouched, matching ftfy."""
+    NOT reproduced (documented): replace_lossy_sequences,
+    decode_inconsistent_utf8 — fixture text avoids those cases; plain
+    ASCII and Thai pass through untouched, matching ftfy."""
+    if "<" not in text:  # ftfy's 'auto' gate
+        text = unescape_html_lite(text)
     text = _TERMINAL_ESCAPE_RE.sub("", text)
     for _ in range(3):  # encoding fixpoint (double-mojibake = 2 passes)
         repaired = _fix_encoding_once(text)

@@ -45,6 +45,13 @@ def build_session(
         # one 128 MiB input split per task keeps blob rows per task bounded
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # commit algorithm v2 moves task output into place at TASK
+        # commit (parallel, overlapped with still-running tasks) instead
+        # of a serial driver-side rename pass at job commit — the write
+        # tail no longer serializes on the driver as file counts grow
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

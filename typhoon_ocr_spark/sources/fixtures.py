@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 16  # v16: expected_features.parquet golden (pages payloads unchanged since v13)
+CORPUS_VERSION = 17  # v17: 5x7 ASCII+Thai face (render goldens), unescape_html/restore_byte_a0 PDF cohorts (pages payloads changed), expected_features golden, MP3 media cohorts
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -157,6 +157,14 @@ def _pdf_payload(rng: random.Random, doc_id: int, lang: str, n_pages: int) -> by
             cp1252 = sloppy_1252_decode("it’s “quoted”".encode("utf-8"))
             w.text(72, base_y - 60, f"q {cp1252} end")
             w.text(72, base_y - 80, "and ﬂuﬃest ﬁne ＯＫ　done")
+            # round 4: unescape_html (named + numeric + non-entities)
+            # and restore_byte_a0 (space-for-NBSP corrupted mojibake)
+            w.text(72, base_y - 100,
+                   "fish &amp; chips &#3652;&#x0E17; AT&T &notreal; end")
+            nbsp_corrupt = (
+                "voilà déjà".encode("utf-8").replace(b"\xa0", b" ").decode("latin-1")
+            )
+            w.text(72, base_y - 120, f"nb {nbsp_corrupt} sp")
         elif style < 0.42:
             # images: two overlapping + one disjoint (merge path)
             w.image("Im1", 50, 60, 100, 110)
@@ -592,10 +600,12 @@ def planted_embeddings(
 
 def generate_media(n_rows: int):
     """Deterministic audio/video table: WAV (real PCM16 synth, varied
-    rate/channels/length), MP4 shells (real mvhd duration), truncated
-    WAV bodies (decode-error path), and non-media junk (dropped by the
-    operator). Returns ({media_id, payload}, golden pa.Table)."""
-    from ..oracle.media import media_meta_row, write_mp4, write_wav
+    rate/channels/length), MP4 shells (real mvhd duration), MP3 frame
+    streams (CBR / VBR / ID3v2-tagged — real header-walk duration),
+    truncated WAV and MP3 bodies (decode-error path), and non-media
+    junk (dropped by the operator).
+    Returns ({media_id, payload}, golden pa.Table)."""
+    from ..oracle.media import media_meta_row, write_mp3, write_mp4, write_wav
     from ..operators.multimodal import MEDIA_META_SCHEMA
 
     media_ids, payloads = [], []
@@ -603,14 +613,24 @@ def generate_media(n_rows: int):
     golden = {k: [] for k in ("media_id",) + meta_cols}
     for i in range(n_rows):
         mod = i % 10
-        if mod < 5:
+        if mod < 4:
             payload = write_wav(seed=i, n_frames=200 + (i * 37) % 1400,
                                 channels=1 + i % 2,
                                 rate=(8000, 16000, 44100)[i % 3])
-        elif mod < 8:
+        elif mod < 6:
             payload = write_mp4(seed=i, duration_ms=500 + (i * 911) % 60000)
-        elif mod == 8:
-            payload = write_wav(seed=i)[: 40 + i % 50]  # truncated
+        elif mod == 6:
+            payload = write_mp3(seed=i, n_frames=10 + (i * 13) % 120,
+                                rate_idx=i % 3)
+        elif mod == 7:
+            payload = write_mp3(seed=i, n_frames=10 + (i * 7) % 90,
+                                id3=i % 2 == 0, vbr=True)
+        elif mod == 8:  # truncated bodies: decode-error rows
+            payload = (
+                write_wav(seed=i)[: 40 + i % 50]
+                if i % 2
+                else write_mp3(seed=i, n_frames=2)[:30]
+            )
         else:
             payload = b"junk-not-media-%d" % i
         media_ids.append(i)

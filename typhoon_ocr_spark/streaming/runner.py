@@ -92,6 +92,9 @@ class ResumableExtractJob:
         config: PipelineConfig = PipelineConfig(),
         run_id: Optional[str] = None,
         stale_policy: str = "fail",  # "fail" | "invalidate"
+        page_transform=None,  # page_frame -> page_frame, between
+        # extraction and assembly — e.g. operators.extract.ocr_pages
+        # for the full per-page LLM loop under the same manifest commit
     ) -> None:
         if stale_policy not in ("fail", "invalidate"):
             raise ValueError(f"unknown stale_policy {stale_policy!r}")
@@ -102,6 +105,7 @@ class ResumableExtractJob:
         self.config = config
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.stale_policy = stale_policy
+        self.page_transform = page_transform
         self.manifest_dir = os.path.join(out_root, "_manifest")
         self.metrics_dir = os.path.join(out_root, "_metrics")
         self.layout_dir = os.path.join(out_root, "_layout")
@@ -210,6 +214,8 @@ class ResumableExtractJob:
                 extract_pages(self._bucket_frame(bucket), self.config),
                 name=f"extract_metrics_{self.run_id}_{bucket}",
             )
+            if self.page_transform is not None:
+                page_frame = self.page_transform(page_frame)
             docs = (
                 assemble_documents(page_frame)
                 .withColumn("run_id", F.lit(self.run_id))
