@@ -12,6 +12,7 @@ from typhoon_ocr_spark.oracle import (
     cleanup_element_text,
     fix_text_lite,
 )
+from typhoon_ocr_spark.oracle.textops import sloppy_1252_decode
 
 
 class TestCapSplitString:
@@ -152,3 +153,35 @@ class TestUnescapeHtmlAndByteA0:
         # a space NOT inside a utf-8-shaped sequence stays a space
         assert fix_text_lite("caf\xc3\xa9 et th\xc3\xa9") == "café et thé"
         assert fix_text_lite("x y z") == "x y z"
+
+
+class TestLossyAndInconsistent:
+    """Round-4 completion of the ftfy default-fix list."""
+
+    def test_lossy_two_byte(self):
+        lossy = sloppy_1252_decode(b"caf\xc3? end")
+        assert fix_text_lite(lossy) == "caf� end"
+
+    def test_lossy_three_byte_and_sub(self):
+        assert fix_text_lite(sloppy_1252_decode(b"x \xe0\xb8? y")) == "x � y"
+        assert fix_text_lite(sloppy_1252_decode(b"x \xc3\x1a y")) == "x � y"
+
+    def test_lossy_mixed_with_repairable(self):
+        raw = b"ok \xc3\xa9 and \xc3? tail"  # one repairable, one lossy
+        assert fix_text_lite(sloppy_1252_decode(raw)) == "ok é and � tail"
+
+    def test_inconsistent_embedded_in_thai(self):
+        moji = "café".encode("utf-8").decode("latin-1")
+        assert fix_text_lite("ไทย " + moji + " ok") == "ไทย café ok"
+
+    def test_inconsistent_cp1252_graphics_run(self):
+        assert fix_text_lite("price ± 5% Â· dot") == "price ± 5% · dot"
+
+    def test_legit_accents_and_thai_untouched(self):
+        assert fix_text_lite("café naïve ภาษาไทย plain") == "café naïve ภาษาไทย plain"
+
+    def test_non_decoding_run_untouched(self):
+        # lead-class char with continuation-class chars that do NOT form
+        # valid utf-8 stays as-is (acceptance = decode success)
+        s = "ÃÃ"  # two leads, no continuation
+        assert fix_text_lite(s) == s

@@ -128,6 +128,31 @@ def restore_byte_a0(raw: bytes) -> bytes:
     )
 
 
+# ftfy's LOSSY_UTF8_RE shape: utf-8 sequences where a continuation
+# byte was destroyed by an earlier lossy decode — replaced with '?'
+# (errors='replace' through ascii) or 0x1A (SUB, the DOS-era
+# replacement). The whole wreck becomes U+FFFD, which is what the
+# original decode should have produced.
+_LOSSY_UTF8_RE = re.compile(
+    b"[\xc2-\xdf][\x1a?]"
+    b"|[\xe0-\xef][\x1a?][\x80-\xbf]"
+    b"|[\xe0-\xef][\x80-\xbf][\x1a?]"
+    b"|[\xe0-\xef][\x1a?][\x1a?]"
+    b"|[\xf0-\xf4][\x1a?][\x80-\xbf][\x80-\xbf]"
+    b"|[\xf0-\xf4][\x80-\xbf][\x1a?][\x80-\xbf]"
+    b"|[\xf0-\xf4][\x80-\xbf][\x80-\xbf][\x1a?]"
+)
+
+
+def replace_lossy_sequences(raw: bytes) -> bytes:
+    """ftfy's replace_lossy_sequences (lite): a utf-8-shaped sequence
+    whose continuation byte was smashed to '?' or SUB can't be
+    restored — replace the whole sequence with U+FFFD so the rest of
+    the mojibake still repairs. Only called when the bytes fail to
+    decode as-is."""
+    return _LOSSY_UTF8_RE.sub(b"\xef\xbf\xbd", raw)
+
+
 def _fix_encoding_once(text: str) -> str:
     """One mojibake-repair pass: if the text could be utf-8 bytes that
     were mis-decoded as latin-1 OR windows-1252, return the re-decoded
@@ -135,24 +160,58 @@ def _fix_encoding_once(text: str) -> str:
     The sloppy-1252 inverse covers BOTH mis-decodings: latin-1 puts
     utf-8 continuation bytes at C1 controls (0x80-0x9F branch),
     windows-1252 puts them at its graphics block (inverse table).
-    When the bytes don't decode outright, a restore_byte_a0 pass gets
-    one retry (space-for-NBSP corruption inside the mojibake)."""
+    When the bytes don't decode outright, restore_byte_a0 (space-for-
+    NBSP corruption) and then replace_lossy_sequences (destroyed
+    continuations → U+FFFD) each get one retry."""
     raw = _sloppy_1252_bytes(text)
     if raw is None:
         return text
     try:
         candidate = raw.decode("utf-8")
     except UnicodeDecodeError:
-        restored = restore_byte_a0(raw)
-        if restored == raw:
-            return text
-        try:
-            candidate = restored.decode("utf-8")
-        except UnicodeDecodeError:
+        candidate = None
+        for repair in (restore_byte_a0, replace_lossy_sequences):
+            repaired = repair(raw)
+            if repaired == raw:
+                continue
+            try:
+                candidate = repaired.decode("utf-8")
+                break
+            except UnicodeDecodeError:
+                raw = repaired  # stack repairs: a0-restore then lossy
+        if candidate is None:
             return text
     if candidate != text and any(ord(ch) > 127 for ch in candidate):
         return candidate
     return text
+
+
+def _mojibake_char_class(b0: int, b1: int) -> str:
+    """Regex char class of the characters bytes b0..b1 mis-decode to
+    under sloppy-1252 — the character-domain image of a byte range."""
+    return "".join(re.escape(sloppy_1252_decode(bytes([b]))) for b in range(b0, b1 + 1))
+
+
+_EMBEDDED_MOJIBAKE_RE = re.compile(
+    "(?:[{l4}][{c}]{{3}}|[{l3}][{c}]{{2}}|[{l2}][{c}])+".format(
+        l2=_mojibake_char_class(0xC2, 0xDF),
+        l3=_mojibake_char_class(0xE0, 0xEF),
+        l4=_mojibake_char_class(0xF0, 0xF4),
+        c=_mojibake_char_class(0x80, 0xBF),
+    )
+)
+
+
+def decode_inconsistent_utf8(text: str) -> str:
+    """ftfy's decode_inconsistent_utf8 (lite): repair utf-8 mojibake
+    runs EMBEDDED in text that is otherwise already correct (mixed
+    sources — a Thai string whose pasted-in fragment is mojibake would
+    defeat the whole-string re-encode, which refuses on the first
+    non-single-byte-representable char). Maximal runs shaped like full
+    mis-decoded utf-8 sequences repair independently through the same
+    byte path; runs that don't actually decode stay untouched (the
+    acceptance rule inside _fix_encoding_once)."""
+    return _EMBEDDED_MOJIBAKE_RE.sub(lambda m: _fix_encoding_once(m.group(0)), text)
 
 
 # ftfy's unescape_html: the HTML5 named-entity table (stdlib
@@ -214,9 +273,13 @@ def fix_text_lite(text: str) -> str:
       decode UNLESS the text contains '<' (looks like real markup)
     - restore_byte_a0 (round 4): space-for-NBSP corruption inside
       mojibake utf-8 sequences restored before the decode retry
+    - replace_lossy_sequences (round 4): continuations destroyed by an
+      earlier lossy decode ('?' / SUB) → U+FFFD, rest still repairs
+    - decode_inconsistent_utf8 (round 4): mojibake runs embedded in
+      otherwise-correct text (mixed sources) repair independently
 
-    NOT reproduced (documented): replace_lossy_sequences,
-    decode_inconsistent_utf8 — fixture text avoids those cases; plain
+    The full ftfy default-fix list is now reproduced (lite semantics:
+    acceptance by decode success rather than badness scoring); plain
     ASCII and Thai pass through untouched, matching ftfy."""
     if "<" not in text:  # ftfy's 'auto' gate
         text = unescape_html_lite(text)
@@ -226,6 +289,7 @@ def fix_text_lite(text: str) -> str:
         if repaired == text:
             break
         text = repaired
+    text = decode_inconsistent_utf8(text)
     out = []
     for ch in text:
         cp = ord(ch)

@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 17  # v17: 5x7 ASCII+Thai face (render goldens), unescape_html/restore_byte_a0 PDF cohorts (pages payloads changed), expected_features golden, MP3 media cohorts
+CORPUS_VERSION = 18  # v18: v17 + replace_lossy_sequences / decode_inconsistent_utf8 PDF cohorts (ftfy default-fix list complete)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -165,6 +165,13 @@ def _pdf_payload(rng: random.Random, doc_id: int, lang: str, n_pages: int) -> by
                 "voilà déjà".encode("utf-8").replace(b"\xa0", b" ").decode("latin-1")
             )
             w.text(72, base_y - 120, f"nb {nbsp_corrupt} sp")
+            # round 4 (completion): replace_lossy_sequences (destroyed
+            # continuation -> U+FFFD) and decode_inconsistent_utf8
+            # (mojibake run embedded in already-correct Thai)
+            w.text(72, base_y - 140,
+                   sloppy_1252_decode(b"lossy caf\xc3? here"))
+            w.text(72, base_y - 160,
+                   "ไทย " + "café".encode("utf-8").decode("latin-1") + " mixed")
         elif style < 0.42:
             # images: two overlapping + one disjoint (merge path)
             w.image("Im1", 50, 60, 100, 110)
