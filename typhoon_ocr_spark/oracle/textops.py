@@ -281,9 +281,16 @@ def fix_text_lite(text: str) -> str:
     The full ftfy default-fix list is now reproduced (lite semantics:
     acceptance by decode success rather than badness scoring); plain
     ASCII and Thai pass through untouched, matching ftfy."""
-    if "<" not in text:  # ftfy's 'auto' gate
+    if "&" in text and "<" not in text:  # ftfy's 'auto' gate
         text = unescape_html_lite(text)
-    text = _TERMINAL_ESCAPE_RE.sub("", text)
+    if "\x1b" in text:
+        text = _TERMINAL_ESCAPE_RE.sub("", text)
+    # plain ASCII can't contain mojibake, ligatures, fullwidth forms,
+    # C1 controls, or curly quotes, and NFC is identity on it — skip
+    # the entire repair tail (str.isascii is C-speed; ASCII elements
+    # are the common case at corpus scale)
+    if text.isascii():
+        return text
     for _ in range(3):  # encoding fixpoint (double-mojibake = 2 passes)
         repaired = _fix_encoding_once(text)
         if repaired == text:
