@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["frame_plan"] = lambda spark, sf: multimodal.frame_plan(
         multimodal.media_meta(_fixture(spark, sf, "media"))
     )
+    q["frame_pixel_stats"] = lambda spark, sf: multimodal.frame_pixel_stats(
+        _fixture(spark, sf, "media")
+    )
     return _driver_window_order(q)
 
 
@@ -1123,6 +1126,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT media_id, media_kind, sample_rate, channels, n_samples, "
         "duration_ms, mean_pm, spread_pm, decoded "
         f"FROM read_parquet('{fx}/expected_media.parquet')"
+    )
+    sql["frame_pixel_stats"] = (
+        "SELECT media_id, frame_idx, src_frame, width, height, mean_pm, "
+        f"spread_pm FROM read_parquet('{fx}/expected_frames.parquet')"
     )
     # frame plan: 1 fps, cap 64 — floor division mirrors Spark's
     # cast-to-long truncation (positive durations only)

