@@ -248,6 +248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"en": 0.5, "th": 1.0},
         default_rate=0.25,
     )
+    q["ngram_dup"] = lambda spark, sf: dedup.ngram_dup_coverage(_t(spark, sf, "documents"))
+    q["sequence_pack"] = lambda spark, sf: sampling.sequence_pack_plan(
+        _t(spark, sf, "documents")
+    )
     q["ann_topk"] = lambda spark, sf: similarity.cosine_topk(_t(spark, sf, "embeddings"))
     q["ann_lsh_buckets"] = lambda spark, sf: similarity.lsh_sign_buckets(
         _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
@@ -825,6 +829,32 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN lang = 'en' THEN '{hex_threshold(0.5)}' "
         f"WHEN lang = 'th' THEN '{hex_threshold(1.0)}' "
         f"ELSE '{hex_threshold(0.25)}' END)"
+    )
+    from typhoon_ocr_spark.operators.sampling import PACK_SHARDS, SEQ_BUDGET
+
+    sql["ngram_dup"] = (
+        f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, md5(x) AS s_h FROM "
+        f" (SELECT doc_id, unnest({duck_shingles('tk')}) AS x FROM t)), "
+        "c AS (SELECT s_h, CAST(count(*) AS BIGINT) AS cnt FROM sh GROUP BY 1), "
+        "per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+        " CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles "
+        " FROM sh JOIN c USING (s_h) GROUP BY 1) "
+        "SELECT d.doc_id, coalesce(per.n_shingles, 0) AS n_shingles, "
+        "coalesce(per.n_dup_shingles, 0) AS n_dup_shingles, "
+        "CAST(CASE WHEN coalesce(per.n_shingles, 0) > 0 THEN "
+        "round(100.0 * per.n_dup_shingles / per.n_shingles) ELSE 0 END AS BIGINT) "
+        "AS dup_pct FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
+    )
+    sql["sequence_pack"] = (
+        f"WITH t AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, "
+        f"CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents), "
+        "o AS (SELECT doc_id, shard, n_tokens, "
+        " sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS off "
+        " FROM t) "
+        "SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, "
+        f"CAST(floor(off / {SEQ_BUDGET}) AS BIGINT) AS seq_id, "
+        f"CAST(off % {SEQ_BUDGET} AS BIGINT) AS seq_offset FROM o"
     )
     sql["lang_id"] = (
         "SELECT doc_id, CAST(round(1000.0 * "

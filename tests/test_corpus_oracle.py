@@ -36,6 +36,8 @@ CORPUS_QUERIES = [
     # url_dedup pins the sf0.01 fixture pages path in its oracle SQL
     # (like url_normalize/host_rollup) -> covered by the driver gate +
     # tools/check_correctness.py, not here
+    "ngram_dup",
+    "sequence_pack",
     "ann_topk",
     "token_rollup",
     "page_explode",

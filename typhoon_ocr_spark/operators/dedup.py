@@ -360,3 +360,48 @@ def jaccard_pairs(
         # (identical inputs dedupe to one entry via plan equality)
         result._persisted_shingles = sh
     return result
+
+
+def ngram_dup_coverage(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-document repeated-n-gram coverage — the exact-substring
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", in shingle-hash form): per document, the
+    fraction of its distinct 3-word shingles that occur in at least
+    one OTHER document. High coverage marks boilerplate/templated/
+    copied documents that MinHash whole-doc similarity misses.
+
+    Scale shape: shingles hash to md5 before any shuffle (fixed-width
+    keys, no raw text moves); one groupBy with map-side partial agg
+    counts docs per shingle; the join back is keyed on the same hash —
+    sort-merge streams, nothing builds in one memory. Docs too short
+    to shingle report zeros via the left join.
+    Output: (doc_id, n_shingles, n_dup_shingles, dup_pct)."""
+    sh = (
+        shingle_frame(documents, text_col)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5("s").alias("s_h"))
+        .dropDuplicates(["doc_id", "s_h"])
+    )
+    counts = sh.groupBy("s_h").agg(F.count("*").cast("long").alias("cnt"))
+    per_doc = (
+        sh.join(counts.hint("merge"), "s_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_dup_shingles"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_dup_shingles", F.lit(0)).cast("long").alias("n_dup_shingles"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.round(100.0 * F.col("n_dup_shingles") / F.col("n_shingles")),
+            ).otherwise(0).cast("long").alias("dup_pct"),
+        )
+    )

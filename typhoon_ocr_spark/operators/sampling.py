@@ -24,6 +24,7 @@ from typing import Dict
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SPLIT_SALT = "split-v1"
 
@@ -90,3 +91,44 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(hex_threshold(r))
         ).otherwise(threshold)
     return df.filter(h < threshold)
+
+
+SEQ_BUDGET = 2048   # tokens per packed training sequence
+PACK_SHARDS = 16    # independent packing chains
+
+
+def sequence_pack_plan(
+    documents: DataFrame,
+    budget: int = SEQ_BUDGET,
+    shards: int = PACK_SHARDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-split sequence-packing plan (the GPT-style
+    pre-tokenization step): documents are concatenated in deterministic
+    (shard, doc_id) order and split into fixed ``budget``-token
+    training sequences; each document row reports the sequence its
+    first token lands in and the offset within it.
+
+    A single global running sum would be one unpartitioned window —
+    one task at corpus scale. Sharding on ``doc_id % shards`` bounds
+    the sequential dependency: ``shards`` independent chains pack in
+    parallel, which is exactly how a distributed packer works (each
+    worker owns a shard); sequence ids are only meaningful per shard,
+    so they're emitted as (shard, seq_id).
+    Output: (doc_id, shard, n_tokens, seq_id, seq_offset)."""
+    from ..operators.dedup import word_tokens
+
+    toks = F.size(word_tokens(F.col(text_col))).cast("long")
+    frame = documents.select(
+        "doc_id", (F.col("doc_id") % shards).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return frame.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(offset / budget).cast("long").alias("seq_id"),
+        (offset % budget).cast("long").alias("seq_offset"),
+    )
