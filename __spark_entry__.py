@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rates={"en": 0.5, "th": 1.0},
         default_rate=0.25,
     )
+    q["model_quality"] = lambda spark, sf: textstats.model_quality_score(
+        _t(spark, sf, "documents")
+    )
     q["ngram_dup"] = lambda spark, sf: dedup.ngram_dup_coverage(_t(spark, sf, "documents"))
     q["sequence_pack"] = lambda spark, sf: sampling.sequence_pack_plan(
         _t(spark, sf, "documents")
@@ -832,6 +835,20 @@ def oracle_sql() -> dict[str, str]:
     )
     from typhoon_ocr_spark.operators.sampling import PACK_SHARDS, SEQ_BUDGET
 
+    from typhoon_ocr_spark.functions.textsql import MODEL_BUCKETS
+
+    sql["model_quality"] = (
+        f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
+        f"s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+        f" list_sum(list_transform(tk, x -> "
+        f"  (CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT) % {MODEL_BUCKETS})"
+        f"  * 2654435761 % 2001 - 1000)) AS ws "
+        " FROM t) "
+        "SELECT doc_id, n_tokens, "
+        "CAST(floor(coalesce(ws, 0) / greatest(n_tokens, 1) + 0.5) AS BIGINT) AS logit_pm, "
+        "CAST(floor(coalesce(ws, 0) / greatest(n_tokens, 1) + 0.5) AS BIGINT) > 0 AS keep "
+        "FROM s"
+    )
     sql["ngram_dup"] = (
         f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
         f"sh AS (SELECT DISTINCT doc_id, md5(x) AS s_h FROM "

@@ -36,6 +36,7 @@ CORPUS_QUERIES = [
     # url_dedup pins the sf0.01 fixture pages path in its oracle SQL
     # (like url_normalize/host_rollup) -> covered by the driver gate +
     # tools/check_correctness.py, not here
+    "model_quality",
     "ngram_dup",
     "sequence_pack",
     "ann_topk",

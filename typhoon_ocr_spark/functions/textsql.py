@@ -144,3 +144,25 @@ def duck_minhash_sig(hashes: str, perm: int) -> str:
         f"list_min(list_transform({hashes}, "
         f"x -> substring(x, {start}, {MINHASH_SLICE_HEX})))"
     )
+
+
+# Hashed linear quality model (the fasttext-style model-based filter
+# every modern corpus pipeline runs, e.g. DCLM/FineWeb-Edu): tokens
+# hash into MODEL_BUCKETS buckets; each bucket carries a weight from a
+# table small enough to BROADCAST (here a deterministic placeholder —
+# a trained model drops in as the same array). Pure integer generation
+# so the Spark literal array and the DuckDB array literal are
+# bit-identical.
+MODEL_BUCKETS = 1024
+
+
+def model_weights_pm() -> list:
+    """Deterministic per-bucket weights in per-mille units [-1000,
+    1000] (Knuth multiplicative hash of the bucket id). INTEGER on
+    purpose: the document score sums these exactly — no FP summation
+    order can differ between the engine and the oracle, so round-half
+    boundaries are deterministic."""
+    return [
+        (b * 2654435761) % 2001 - 1000
+        for b in range(MODEL_BUCKETS)
+    ]

@@ -390,3 +390,51 @@ def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_min("grams").alias("fingerprint"),
         F.size("grams").cast("long").alias("n_grams"),
     )
+
+
+def model_quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filter plumbing (the fasttext-style linear
+    scorer modern pipelines run after heuristic gates — DCLM /
+    FineWeb-Edu shape): every token hashes into one of MODEL_BUCKETS
+    buckets, the bucket's weight comes from a broadcast-sized literal
+    array (a trained model drops into the same slot), and the document
+    score is the mean token weight, emitted as a per-mille logit.
+
+    Scale shape: map-only — tokenize, hash, and the weight lookup all
+    run inside whole-stage codegen per row; the model rides the plan
+    as a literal (at real model sizes, a broadcast variable); zero
+    shuffles, zero Python.
+    Output: (doc_id, n_tokens, logit_pm, keep)."""
+    from ..functions.textsql import MODEL_BUCKETS
+
+    toks = word_tokens(F.col(text_col))
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % MODEL_BUCKETS
+    )
+    # The placeholder model is computed from its generating formula
+    # (model_weights_pm's Knuth hash) instead of an element_at over a
+    # 1024-literal array: a literal array inside a HOF lambda is
+    # re-materialized PER TOKEN by codegen (measured 30x slower at
+    # sf0.001); a trained model replaces this expression with a
+    # broadcast-table lookup. Integer per-mille weights sum EXACTLY —
+    # a double fold would land on round-half boundaries differently
+    # than the oracle's list_sum.
+    weight_pm = lambda t: (  # noqa: E731
+        (bucket(t) * F.lit(2654435761)) % 2001 - 1000
+    )
+    wsum_pm = F.aggregate(
+        F.transform(toks, weight_pm),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tokens = F.size(toks).cast("long")
+    logit_pm = F.floor(
+        wsum_pm / F.greatest(n_tokens, F.lit(1)) + F.lit(0.5)
+    ).cast("long")
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        logit_pm.alias("logit_pm"),
+        (logit_pm > 0).alias("keep"),
+    )
