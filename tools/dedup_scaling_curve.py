@@ -126,6 +126,13 @@ def main() -> None:
         # round 3: the one new textstats op with a shuffle + per-doc
         # fan-out (bigram explode -> groupBy -> window)
         "top_bigram": lambda d, e: textstats.top_bigram(d).count(),
+        # round 4: shingle-hash shuffle + sort-merge join back — the
+        # exact-substring dedup signal's scale shape
+        "ngram_dup": lambda d, e: dedup.ngram_dup_coverage(d).count(),
+        # round 4: sharded running-sum packing (window per shard)
+        "sequence_pack": lambda d, e: __import__(
+            "typhoon_ocr_spark.operators.sampling", fromlist=["sampling"]
+        ).sequence_pack_plan(d).count(),
     }
 
     best: dict = {name: {"sec_1x": None, "sec_10x": None} for name in ops}
