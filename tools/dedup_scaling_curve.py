@@ -127,12 +127,20 @@ def main() -> None:
         # fan-out (bigram explode -> groupBy -> window)
         "top_bigram": lambda d, e: textstats.top_bigram(d).count(),
         # round 4: shingle-hash shuffle + sort-merge join back — the
-        # exact-substring dedup signal's scale shape
-        "ngram_dup": lambda d, e: dedup.ngram_dup_coverage(d).count(),
-        # round 4: sharded running-sum packing (window per shard)
-        "sequence_pack": lambda d, e: __import__(
-            "typhoon_ocr_spark.operators.sampling", fromlist=["sampling"]
-        ).sequence_pack_plan(d).count(),
+        # exact-substring dedup signal's scale shape. NB: .count() on
+        # this op measures nothing — the groupBy gives Catalyst unique
+        # join keys, so it ELIMINATES the whole join for a bare count;
+        # summing the computed column keeps the lineage live.
+        "ngram_dup": lambda d, e: int(
+            dedup.ngram_dup_coverage(d).agg({"dup_pct": "sum"}).collect()[0][0]
+        ),
+        # round 4: sharded running-sum packing (same pruning hazard:
+        # an unused window column would be elided under count())
+        "sequence_pack": lambda d, e: int(
+            __import__(
+                "typhoon_ocr_spark.operators.sampling", fromlist=["sampling"]
+            ).sequence_pack_plan(d).agg({"seq_offset": "sum"}).collect()[0][0]
+        ),
     }
 
     best: dict = {name: {"sec_1x": None, "sec_10x": None} for name in ops}
