@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "documents")
     )
     q["ngram_dup"] = lambda spark, sf: dedup.ngram_dup_coverage(_t(spark, sf, "documents"))
+    q["near_dup_clusters"] = lambda spark, sf: dedup.connected_components(
+        dedup.simhash_near_dups(_t(spark, sf, "documents"))
+    )
     q["sequence_pack"] = lambda spark, sf: sampling.sequence_pack_plan(
         _t(spark, sf, "documents")
     )
@@ -369,6 +372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-checked every pytest run via tests/test_corpus_oracle.py — to the
 # tail. tools/check_correctness.py still covers the full set.
 _DRIVER_TAIL = [
+    "minhash_bands",
     "token_rollup",
     "page_explode",
     "page_range_filter",
@@ -568,18 +572,37 @@ def oracle_sql() -> dict[str, str]:
         f"substring(simhash, {start}, {length}) AS seg_val FROM sh"
         for i, (start, length) in enumerate(simhash_segment_bounds())
     )
-    sql["simhash_near_dups"] = (
-        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+    sim_chain = (
+        f"t AS (SELECT doc_id, {toks} AS toks FROM documents), "
         "h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs FROM t), "
         f"sh AS (SELECT doc_id, {bit_exprs} AS simhash FROM h), "
         f"segs AS ({seg_rows}), "
         "sized AS (SELECT *, count(*) OVER (PARTITION BY seg, seg_val) AS bsz FROM segs), "
-        f"capped AS (SELECT * FROM sized WHERE bsz > 1 AND bsz <= {SIMHASH_MAX_BUCKET}) "
+        f"capped AS (SELECT * FROM sized WHERE bsz > 1 AND bsz <= {SIMHASH_MAX_BUCKET})"
+    )
+    sim_pairs_select = (
         f"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         f"CAST({ham} AS BIGINT) AS hamming "
         "FROM capped a JOIN capped b "
         "ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id "
         f"WHERE {ham} <= {SIMHASH_MAX_HAMMING}"
+    )
+    sql["simhash_near_dups"] = f"WITH {sim_chain} {sim_pairs_select}"
+    # components via transitive closure (recursive CTE): every label a
+    # node can reach; component id = min reachable — the oracle twin of
+    # the engine's iterative min-label propagation
+    sql["near_dup_clusters"] = (
+        f"WITH RECURSIVE {sim_chain}, "
+        f"pairs AS ({sim_pairs_select}), "
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        " UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach AS (SELECT src AS node, src AS lbl FROM edges "
+        " UNION SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node), "
+        "comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node), "
+        "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size "
+        " FROM comp GROUP BY 1) "
+        "SELECT node AS doc_id, cluster_id, cluster_size "
+        "FROM comp JOIN sz USING (cluster_id)"
     )
 
     from typhoon_ocr_spark.operators.similarity import (

@@ -141,3 +141,43 @@ def test_sampling_rate_one_keeps_everything(spark):
     assert deterministic_sample(docs, 1.0).count() == 400
     kept = stratified_sample(docs, rates={"th": 1.0, "en": 0.0}).collect()
     assert len(kept) == 200 and all(r["lang"] == "th" for r in kept)
+
+
+def test_connected_components_semantics(spark):
+    """Chain, triangle-plus-tail, and disjoint pair resolve to min-id
+    components with correct sizes; convergence needs diameter rounds."""
+    from typhoon_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain: component 1, size 4
+            (10, 11), (11, 12), (10, 12), (12, 13),  # dense + tail: comp 10, size 4
+            (20, 21),                        # pair: comp 20, size 2
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in connected_components(pairs).collect()}
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+        10: (10, 4), 11: (10, 4), 12: (10, 4), 13: (10, 4),
+        20: (20, 2), 21: (20, 2),
+    }
+
+
+def test_connected_components_matches_pair_transitive_closure(spark):
+    """Against the corpus simhash pairs: every pair's two docs share a
+    cluster, and cluster ids are the min member."""
+    from typhoon_ocr_spark.operators.dedup import (
+        connected_components,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = simhash_near_dups(docs)
+    comp = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()}
+    for a, b, _h in pairs.collect():
+        assert comp[a] == comp[b]
+    assert all(cid <= d for d, cid in comp.items())
+    assert any(cid < d for d, cid in comp.items())  # non-trivial clusters

@@ -405,3 +405,70 @@ def ngram_dup_coverage(documents: DataFrame, text_col: str = "text") -> DataFram
             ).otherwise(0).cast("long").alias("dup_pct"),
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Pairs → clusters: the stage every near-dup pipeline needs after
+    candidate generation (MinHash/SimHash/embedding pairs are EDGES;
+    dedup keeps one doc per connected COMPONENT). Iterative min-label
+    propagation: each node adopts the smallest label among itself and
+    its neighbors until a fixpoint — the degree-bounded cousin of
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), converging in O(component diameter) rounds;
+    near-dup components are shallow (dup cohorts link densely), so
+    single-digit rounds in practice.
+
+    Scale shape per round: one self-join of the label frame against the
+    symmetrized edge list (sort-merge on node id) + one groupBy min —
+    no collect of nodes or edges; the only driver-side value is the
+    per-round convergence COUNT. Labels persist across rounds and
+    lineage is cut each round (localCheckpoint) so the plan doesn't
+    deepen with iterations — the classic iterative-join trap.
+    Output: (doc_id, cluster_id, cluster_size); cluster_id = min doc_id
+    of the component."""
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    edges.unpersist(blocking=False)
+    sizes = labels.groupBy("lbl").agg(F.count("*").cast("long").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
+    )
