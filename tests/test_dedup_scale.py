@@ -181,3 +181,17 @@ def test_connected_components_matches_pair_transitive_closure(spark):
         assert comp[a] == comp[b]
     assert all(cid <= d for d, cid in comp.items())
     assert any(cid < d for d, cid in comp.items())  # non-trivial clusters
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 40-node path has diameter 39 — plain 1-hop propagation would
+    need 39 rounds; pointer jumping must converge inside max_iter=15
+    (O(log diameter))."""
+    from typhoon_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in connected_components(pairs, max_iter=15).collect()}
+    assert got == {i: (100, 41) for i in range(100, 141)}
