@@ -80,6 +80,7 @@ from typhoon_ocr_spark.operators.extract import (
     ocr_message_fingerprints,
     page_render_fingerprints,
 )
+from typhoon_ocr_spark.plans.session import ship_engine
 from typhoon_ocr_spark.sources.fixtures import tier_dir_for_sf
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -89,15 +90,18 @@ _FIX01 = os.path.join(_REPO, "data", "pages_sf0.01")
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_engine(spark)  # workers import the engine whatever the cwd
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(tier_dir_for_sf(sf_dir), "pages.parquet"))
 
 
 def _fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ship_engine(spark)
     return spark.read.parquet(os.path.join(tier_dir_for_sf(sf_dir), f"{name}.parquet"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ship_engine(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -74,22 +74,11 @@ def _dir_bytes(path: str) -> int:
 
 
 def _package_zip() -> str:
-    """Zip the engine package for spark.submit.pyFiles (the in-process
-    equivalent of spark-submit --py-files): executor Python workers in
-    local-cluster mode import the engine from this archive, exactly as
-    they would on a real cluster."""
-    import zipfile
+    """Engine zip for spark.submit.pyFiles (shared helper in
+    plans.session — also used by the driver contract's ship_engine)."""
+    from typhoon_ocr_spark.plans.session import package_zip
 
-    repo = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "typhoon_ocr_spark_pyfiles.zip")
-    with zipfile.ZipFile(zpath, "w") as zf:
-        pkg = os.path.join(repo, "typhoon_ocr_spark")
-        for root, _dirs, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, repo))
-    return zpath
+    return package_zip()
 
 
 # executor shape for the multi-executor (local-cluster) scaling probe:

@@ -60,6 +60,39 @@ def build_session(
     return builder.getOrCreate()
 
 
+def package_zip() -> str:
+    """Zip the engine package for spark.submit.pyFiles / addPyFile (the
+    in-process equivalent of spark-submit --py-files): executor Python
+    workers import the engine from this archive, exactly as they would
+    on a real cluster."""
+    import tempfile
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    zpath = os.path.join(tempfile.gettempdir(), "typhoon_ocr_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        pkg = os.path.join(repo, "typhoon_ocr_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, repo))
+    return zpath
+
+
+def ship_engine(spark) -> None:
+    """Idempotently ship the engine package to executor Python workers
+    via addPyFile — makes the driver contract work regardless of the
+    caller's working directory (a driver-side sys.path insert never
+    reaches worker processes; this is the addPyFile face of
+    spark-submit --py-files)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_typhoon_engine_shipped", False):
+        return
+    sc.addPyFile(package_zip())
+    sc._typhoon_engine_shipped = True
+
+
 @dataclass(frozen=True)
 class PipelineConfig:
     """Engine parameters — the Spark analog of the reference Config
