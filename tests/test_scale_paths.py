@@ -433,3 +433,80 @@ def test_streaming_corpus_keep(spark, tmp_path):
     # ran first; either way exactly TWO texts survive
     assert len(out_rows) == 2
     assert kept_ids in (["1", "5"], ["4", "5"])
+
+
+def test_streaming_sequence_pack_matches_batch_twin(spark, tmp_path):
+    """One micro-batch delivered in doc_id order == the batch packer's
+    plan exactly (same tokenizer expression, same shard math)."""
+    from typhoon_ocr_spark.operators.sampling import sequence_pack_plan
+    from typhoon_ocr_spark.streaming.stateful import streaming_sequence_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out_rows = []
+    q = (
+        streaming_sequence_pack(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out_rows.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = {tuple(r) for r in sequence_pack_plan(docs).collect()}
+    assert set(out_rows) == expected and out_rows
+
+
+def test_streaming_sequence_pack_state_across_batches(spark, tmp_path):
+    """The per-shard token offset survives micro-batch boundaries:
+    whatever order the two files trigger in, each shard's emitted
+    (seq_offset, n_tokens) spans tile [0, total_tokens) exactly —
+    impossible unless the second batch continued from stored state."""
+    from typhoon_ocr_spark.streaming.stateful import streaming_sequence_pack
+
+    b1 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (16, "delta epsilon"), (1, "one two three")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(32, "zeta eta theta iota"), (17, "four five six seven")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out_rows = []
+    q = (
+        streaming_sequence_pack(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out_rows.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    by_shard = {}
+    for doc_id, shard, n_tokens, seq_id, seq_offset in out_rows:
+        by_shard.setdefault(shard, []).append((seq_id * 2048 + seq_offset, n_tokens))
+    assert set(by_shard) == {0, 1}  # doc_ids 0,16,32 -> shard 0; 1,17 -> shard 1
+    for shard, spans in by_shard.items():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos, (shard, spans)
+            pos += n
+        assert pos == sum(n for _s, n in spans)

@@ -341,3 +341,77 @@ def streaming_corpus_keep(doc_stream: DataFrame) -> DataFrame:
             F.col("doc_id").cast("string").alias("url"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing: per-shard token offsets as keyed state.
+# The batch twin (sampling.sequence_pack_plan) packs a finite corpus;
+# an ingest pipeline packs FOREVER — each shard's running token offset
+# must survive across micro-batches.
+# ---------------------------------------------------------------------------
+
+PACK_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("seq_id", LongType()),
+        StructField("seq_offset", LongType()),
+    ]
+)
+PACK_STATE = StructType([StructField("cum_tokens", LongType())])
+
+
+def _make_pack_fn(budget: int):
+    def pack(
+        key: Tuple, frames: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        cum = state.get[0] if state.exists else 0
+        shard = key[0]
+        for pdf in frames:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")  # deterministic within batch
+            out = {k: [] for k in ("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")}
+            for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
+                out["doc_id"].append(int(doc_id))
+                out["shard"].append(int(shard))
+                out["n_tokens"].append(int(n_tokens))
+                out["seq_id"].append(cum // budget)
+                out["seq_offset"].append(cum % budget)
+                cum += int(n_tokens)
+            yield pd.DataFrame(out)
+        state.update((cum,))
+
+    return pack
+
+
+def streaming_sequence_pack(doc_stream: DataFrame, budget: int = None,
+                            shards: int = None) -> DataFrame:
+    """Continuous twin of ``sampling.sequence_pack_plan``: documents
+    arriving on an unbounded stream are packed into fixed-budget
+    training sequences, the per-shard running token offset carried as
+    keyed GroupState across micro-batches — new data appends to the
+    pack plan instead of recomputing it. Tokenization is the SAME
+    column expression as the batch operator (the two cannot drift);
+    ordering is stream arrival (within-batch doc_id order), which
+    equals the batch plan whenever the stream delivers in doc_id order
+    — parity-pinned by test. State is one long per shard.
+    Input: streaming (doc_id, text). Output: PACK_OUTPUT."""
+    from ..operators.dedup import word_tokens
+    from ..operators.sampling import PACK_SHARDS, SEQ_BUDGET
+
+    budget = budget or SEQ_BUDGET
+    shards = shards or PACK_SHARDS
+    frame = doc_stream.select(
+        "doc_id",
+        (F.col("doc_id") % shards).cast("long").alias("shard"),
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return frame.groupBy("shard").applyInPandasWithState(
+        _make_pack_fn(budget),
+        outputStructType=PACK_OUTPUT,
+        stateStructType=PACK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
