@@ -170,3 +170,23 @@ class TestThaiFace:
         extra = ink1 - ink0
         assert extra
         assert min(i // w1 for i in extra) > max(i // w0 for i in ink0)
+
+
+def test_latin_accents_compose_not_noise():
+    """Accented Latin letters render as base glyph + diacritic (NFD
+    composition), never md5 noise; the accent is additive over the
+    x-height base and tall bases squash to make room."""
+    from typhoon_ocr_spark.oracle.font import glyph_rows
+
+    e, eacute = glyph_rows("e"), glyph_rows("é")
+    # base ink preserved under the accent
+    for r in range(2, 7):
+        for c in range(5):
+            if e[r][c] == "1":
+                assert eacute[r][c] == "1"
+    assert eacute != e and "1" in eacute[0] + eacute[1]  # accent present
+    # distinct accents -> distinct glyphs
+    assert len({tuple(glyph_rows(ch)) for ch in "eéèêëē"}) == 6
+    assert glyph_rows("ç") != glyph_rows("c")
+    # determinism
+    assert glyph_rows("à") == glyph_rows("à")

@@ -350,13 +350,70 @@ def _build_thai(cp: int) -> List[str]:
     return ["".join("1" if b else "0" for b in row) for row in g]
 
 
+# Latin diacritics, composed via NFD: accent ink for the two top rows
+# (x-height lowercase leaves rows 0-1 free; tall glyphs get the accent
+# merged over whatever row-0 ink they have, as compact faces do).
+_LATIN_ACCENTS: Dict[int, Tuple[str, str]] = {
+    0x0300: ("01000", "00100"),  # grave
+    0x0301: ("00100", "01000"),  # acute
+    0x0302: ("00100", "01010"),  # circumflex
+    0x0303: ("01101", "10110"),  # tilde
+    0x0304: ("00000", "01110"),  # macron
+    0x0306: ("10001", "01110"),  # breve
+    0x0307: ("00000", "00100"),  # dot above
+    0x0308: ("00000", "01010"),  # diaeresis
+    0x030A: ("01010", "01010"),  # ring above
+    0x030C: ("01010", "00100"),  # caron
+    0x030B: ("01010", "10100"),  # double acute
+}
+_CEDILLA = 0x0327  # rendered as a hook on the bottom row
+
+
+def _compose_latin(ch: str):
+    """Accented Latin letter → base ASCII glyph + accent overlay, or
+    None when the decomposition isn't base+known-marks."""
+    import unicodedata
+
+    decomp = unicodedata.normalize("NFD", ch)
+    base, marks = decomp[0], decomp[1:]
+    if base not in _F or not marks:
+        return None
+    if not all(ord(m) in _LATIN_ACCENTS or ord(m) == _CEDILLA for m in marks):
+        return None
+    rows = list(_F[base])
+    above = [m for m in marks if ord(m) in _LATIN_ACCENTS]
+    if above:
+        if base in "ij":
+            # the dot gives way to the accent (proper typography)
+            rows[0] = "00000"
+        if rows[0] != "00000" or rows[1] != "00000":
+            # tall glyph: squash into rows 2-6 (keep top/middle/bottom
+            # structure, drop rows 1 and 5) so the accent sits clear —
+            # otherwise Â/Ä/Å would all merge into the letter's own ink
+            rows = ["00000", "00000", rows[0], rows[2], rows[3], rows[4], rows[6]]
+    for m in marks:
+        if ord(m) == _CEDILLA:
+            # letter shifts up one row; the hook hangs on the freed
+            # bottom row (a merged hook would vanish into bottom bars)
+            rows = [rows[0]] + rows[2:7] + ["01100"]
+            continue
+        top = _LATIN_ACCENTS[ord(m)]
+        for r in (0, 1):
+            rows[r] = "".join(
+                "1" if (top[r][c] == "1" or rows[r][c] == "1") else "0"
+                for c in range(GLYPH_COLS)
+            )
+    return rows
+
+
 @lru_cache(maxsize=4096)
 def glyph_rows(ch: str) -> List[str]:
     """5x7 bitmap for one character, top row first. ASCII comes from
-    the hand-designed face (lowercase distinct); Thai from the
-    feature-schematic builder; combining marks from the mark tables;
-    any other codepoint hashes to a deterministic non-blank pattern
-    (bit k of the md5 of the codepoint)."""
+    the hand-designed face (lowercase distinct); accented Latin
+    composes base + diacritic via NFD; Thai from the feature-schematic
+    builder; combining marks from the mark tables; any other codepoint
+    hashes to a deterministic non-blank pattern (bit k of the md5 of
+    the codepoint)."""
     if ch in _F:
         return list(_F[ch])
     cp = ord(ch)
@@ -366,6 +423,10 @@ def glyph_rows(ch: str) -> List[str]:
         return list(_THAI_BELOW[cp])
     if cp in _THAI_SPECS:
         return _build_thai(cp)
+    if 0x00C0 <= cp <= 0x024F:
+        composed = _compose_latin(ch)
+        if composed is not None:
+            return composed
     bits = bin(
         int(hashlib.md5(f"glyph5x7|{cp}".encode()).hexdigest()[:9], 16)
     )[2:].zfill(36)[: GLYPH_COLS * GLYPH_ROWS]

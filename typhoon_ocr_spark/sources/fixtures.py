@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 19  # v19: v18 + raw-gray MP4 video cohort (real sample tables) + expected_frames golden (pages payloads unchanged since v18)
+CORPUS_VERSION = 20  # v20: composed Latin-diacritic glyphs (render/message goldens only; pages payloads unchanged since v18)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
