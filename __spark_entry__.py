@@ -331,16 +331,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the oracle twin checks the FULL pixel-statistic vector (per-mille
     # quantized with floor(x*1000+0.5) — identical arithmetic both
     # sides), not just sha plumbing
+    # posexplode to scalar rows: the driver's pandas canonicalizer
+    # cannot sort/factorize ARRAY cells (r4's features_pm projection was
+    # the one red CORRECTNESS row — unhashable list). The full per-mille
+    # vector is still checked value-by-value, just as (idx, value) rows;
+    # the pytest golden keeps the array form.
     q["media_features"] = lambda spark, sf: multimodal.page_image_features(
         _pages(spark, sf)
     ).select(
         "url",
         "payload_sha",
         "n_bytes",
-        F.transform(
-            F.col("features"), lambda x: F.floor(x * 1000 + 0.5).cast("long")
-        ).alias("features_pm"),
-    )
+        F.posexplode(
+            F.transform(
+                F.col("features"), lambda x: F.floor(x * 1000 + 0.5).cast("long")
+            )
+        ).alias("feature_idx", "value_pm"),
+    ).withColumn("feature_idx", F.col("feature_idx").cast("long"))
     q["image_pixel_stats"] = lambda spark, sf: multimodal.image_pixel_stats(
         _pages(spark, sf)
     )
@@ -374,12 +381,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the newest / least-proven operators inside that window by pushing the
 # longest-stable scaffolding queries — green since round 1-2 AND
 # re-checked every pytest run via tests/test_corpus_oracle.py — to the
-# tail. tools/check_correctness.py still covers the full set.
+# tail. tools/check_correctness.py still covers the full set, and
+# tests/test_entry_contract.py asserts every queries() key has a twin.
+# ROTATION (r4 verdict #8): 2-3 tail queries swap back into the head
+# each round so every query gets a driver-recorded row at least every
+# other round. r5 pulled minhash_bands/token_rollup/page_range_filter
+# in; prompt_render/markdown_flatten/base64_validity (r04-green,
+# pytest-pinned UDFs) went out.
 _DRIVER_TAIL = [
-    "minhash_bands",
-    "token_rollup",
     "page_explode",
-    "page_range_filter",
     "ordered_assembly",
     "top_price_per_flag",
     "pricing_rollup",
@@ -389,6 +399,9 @@ _DRIVER_TAIL = [
     "stratified_sample",
     "events_hourly",
     "sessionize",
+    "prompt_render",
+    "markdown_flatten",
+    "base64_validity",
 ]
 
 
@@ -1185,7 +1198,9 @@ def oracle_sql() -> dict[str, str]:
         "CAST(least(CAST(floor(dur / 1000.0) AS BIGINT), 64) AS BIGINT) AS n_frames FROM m"
     )
     sql["media_features"] = (
-        "SELECT url, payload_sha, n_bytes, features_pm "
+        "SELECT url, payload_sha, n_bytes, "
+        "CAST(generate_subscripts(features_pm, 1) - 1 AS BIGINT) AS feature_idx, "
+        "CAST(unnest(features_pm) AS BIGINT) AS value_pm "
         f"FROM read_parquet('{fx}/expected_features.parquet')"
     )
     sql["image_pixel_stats"] = (
