@@ -267,13 +267,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
     q["ann_ivf_assign"] = lambda spark, sf: similarity.ivf_assign(
-        _t(spark, sf, "embeddings")
+        _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
     q["ann_lsh_topk"] = lambda spark, sf: similarity.lsh_bucketed_topk(
         _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
     q["ann_ivf_topk"] = lambda spark, sf: similarity.ivf_probed_topk(
-        _t(spark, sf, "embeddings")
+        _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
     )
     q["pq_codes"] = lambda spark, sf: similarity.pq_assign(
         _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
@@ -724,80 +724,138 @@ def oracle_sql() -> dict[str, str]:
         " (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM s) "
         f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
     )
-    sql["ann_ivf_topk"] = (
-        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
-        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
-        f"c AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n "
-        f" WHERE vec_id % {IVF_CENTROID_EVERY} = 0), "
+    # --- trained IVF / PQ twins (round-5 verdict #3) ---------------------
+    # The quantizers train by integer micro-unit Lloyd's: coordinates
+    # floor to BIGINT micro-units, so centroid sums are EXACT and
+    # order-independent — DuckDB replays the identical unrolled
+    # iterations and lands on bit-identical centroids regardless of
+    # either engine's aggregation order. All score comparisons quantize
+    # to integers (cosine × 1e12, micro-scale L2 to whole units) so a
+    # sub-ulp dot-product difference can never flip an assignment that
+    # training would then amplify.
+    from typhoon_ocr_spark.operators.similarity import (
+        IVF_TRAIN_ITERS,
+        PQ_SUBSPACES,
+    )
+
+    micro_cte = (
+        "mv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), "
+        "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qe FROM embeddings), "
+        "me AS (SELECT vec_id, qe, list_transform(qe, x -> CAST(x AS DOUBLE)) AS e FROM mv), "
+        "nn AS (SELECT vec_id, qe, e, sqrt(list_dot_product(e, e)) AS nrm FROM me)"
+    )
+
+    def qscore(dot: str, norms: str) -> str:
+        return f"CAST(floor(({dot}) / ({norms}) * 1000000000000.0 + 0.5) AS BIGINT)"
+
+    ivf_parts = [
+        f"c0 AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM nn "
+        f"WHERE vec_id % {IVF_CENTROID_EVERY} = 0)"
+    ]
+    for it in range(1, IVF_TRAIN_ITERS + 1):
+        prev = f"c{it - 1}"
+        sq = qscore("list_dot_product(nn.e, c.ce)", "nn.nrm * c.cn")
+        ivf_parts += [
+            f"a{it} AS (SELECT vec_id, centroid_id FROM ("
+            f" SELECT nn.vec_id, c.centroid_id, row_number() OVER (PARTITION BY nn.vec_id"
+            f"  ORDER BY {sq} DESC, c.centroid_id) AS rn FROM nn, {prev} c) WHERE rn = 1)",
+            f"u{it} AS (SELECT a{it}.centroid_id, t.i AS dim, SUM(nn.qe[t.i]) AS s, "
+            f"COUNT(*) AS cnt FROM a{it} JOIN nn USING (vec_id) "
+            f"CROSS JOIN generate_series(1, {EMB_DIMS}) t(i) GROUP BY 1, 2)",
+            f"m{it} AS (SELECT centroid_id, "
+            f"list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY dim) AS ce "
+            f"FROM u{it} GROUP BY 1)",
+            f"c{it} AS (SELECT centroid_id, ce, sqrt(list_dot_product(ce, ce)) AS cn "
+            f"FROM (SELECT p.centroid_id, COALESCE(m{it}.ce, p.ce) AS ce "
+            f"FROM {prev} p LEFT JOIN m{it} USING (centroid_id)))",
+        ]
+    ivf_ctes = ", ".join(ivf_parts)
+    ctr = f"c{IVF_TRAIN_ITERS}"
+    sq_assign = qscore("list_dot_product(nn.e, c.ce)", "nn.nrm * c.cn")
+    ivf_asg = (
         "asg AS (SELECT vec_id, centroid_id FROM ("
-        " SELECT n.vec_id, c.centroid_id, row_number() OVER (PARTITION BY n.vec_id "
-        "  ORDER BY list_dot_product(n.e, c.ce) / (n.nrm * c.cn) DESC, c.centroid_id) AS rn "
-        " FROM n, c) WHERE rn = 1), "
-        f"q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM n "
-        f" WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        " SELECT nn.vec_id, c.centroid_id, row_number() OVER (PARTITION BY nn.vec_id"
+        f"  ORDER BY {sq_assign} DESC, c.centroid_id) AS rn FROM nn, {ctr} c) WHERE rn = 1)"
+    )
+    sql["ann_ivf_assign"] = (
+        f"WITH {micro_cte}, {ivf_ctes}, {ivf_asg} "
+        "SELECT vec_id, centroid_id FROM asg"
+    )
+    sql["ann_ivf_topk"] = (
+        f"WITH {micro_cte}, {ivf_ctes}, {ivf_asg}, "
+        f"q AS (SELECT vec_id AS query_id, e AS qv, nrm AS qn FROM nn "
+        f"WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
         "pr AS (SELECT query_id, centroid_id FROM ("
-        " SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id "
-        "  ORDER BY list_dot_product(q.qe, c.ce) / (q.qn * c.cn) DESC, c.centroid_id) AS prn "
-        f" FROM q, c) WHERE prn <= {IVF_PROBES}), "
-        "cand AS (SELECT DISTINCT pr.query_id, asg.vec_id AS neighbor_id "
+        " SELECT q.query_id, c.centroid_id, row_number() OVER (PARTITION BY q.query_id"
+        f"  ORDER BY {qscore('list_dot_product(q.qv, c.ce)', 'q.qn * c.cn')} DESC, "
+        f"c.centroid_id) AS prn FROM q, {ctr} c) WHERE prn <= {IVF_PROBES}), "
+        "cand AS (SELECT pr.query_id, asg.vec_id AS neighbor_id "
         " FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id "
         " WHERE asg.vec_id <> pr.query_id), "
         "s AS (SELECT cand.query_id, cand.neighbor_id, "
-        " list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS score "
-        " FROM cand JOIN n c ON cand.neighbor_id = c.vec_id "
+        f"{qscore('list_dot_product(q.qv, c.e)', 'q.qn * c.nrm')} AS score_q "
+        " FROM cand JOIN nn c ON cand.neighbor_id = c.vec_id "
         " JOIN q ON cand.query_id = q.query_id), "
         "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER "
-        " (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank FROM s) "
+        " (PARTITION BY query_id ORDER BY score_q DESC, neighbor_id) AS BIGINT) AS rank FROM s) "
         f"SELECT query_id, rank, neighbor_id FROM r WHERE rank <= {ANN_TOP_K}"
     )
-    sql["ann_ivf_assign"] = (
-        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
-        "n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v), "
-        f"c AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM n "
-        f" WHERE vec_id % {IVF_CENTROID_EVERY} = 0), "
-        "s AS (SELECT n.vec_id, c.centroid_id, "
-        " list_dot_product(n.e, c.ce) / (n.nrm * c.cn) AS score, "
-        " row_number() OVER (PARTITION BY n.vec_id "
-        "  ORDER BY list_dot_product(n.e, c.ce) / (n.nrm * c.cn) DESC, c.centroid_id) AS rn "
-        " FROM n, c) "
-        "SELECT vec_id, centroid_id FROM s WHERE rn = 1"
-    )
-
-    from typhoon_ocr_spark.operators.similarity import PQ_SUBSPACES
 
     sub_w = EMB_DIMS // PQ_SUBSPACES
 
-    def pq_sub_rows(src: str, idcol: str) -> str:
-        return " UNION ALL ".join(
-            f"SELECT vec_id AS {idcol}, {m} AS m, "
-            f"e[{m * sub_w + 1}:{(m + 1) * sub_w}] AS se FROM {src}"
-            for m in range(PQ_SUBSPACES)
+    def l2q(a: str, b: str) -> str:
+        return (
+            f"CAST(floor(list_sum(list_transform(generate_series(1, {sub_w}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) + 0.5) AS BIGINT)"
         )
 
-    pq_l2 = (
-        f"list_sum(list_transform(generate_series(1, {sub_w}), "
-        "i -> (vx.se[i] - cx.se[i]) * (vx.se[i] - cx.se[i])))"
+    px_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, qe[{m * sub_w + 1}:{(m + 1) * sub_w}] AS sq, "
+        f"e[{m * sub_w + 1}:{(m + 1) * sub_w}] AS se FROM nn"
+        for m in range(PQ_SUBSPACES)
     )
-    pq_cte = (
-        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
-        f"cv AS (SELECT vec_id, e FROM v WHERE vec_id % {IVF_CENTROID_EVERY} = 0), "
-        f"vx AS ({pq_sub_rows('v', 'vec_id')}), "
-        f"cx AS ({pq_sub_rows('cv', 'cid')}), "
+    pq_parts = [
+        f"px AS ({px_union})",
+        f"k0 AS (SELECT vec_id AS cid, m, se AS ce FROM px "
+        f"WHERE vec_id % {IVF_CENTROID_EVERY} = 0)",
+    ]
+    for it in range(1, IVF_TRAIN_ITERS + 1):
+        prev = f"k{it - 1}"
+        d2 = l2q("px.se", "c.ce")
+        pq_parts += [
+            f"pa{it} AS (SELECT vec_id, m, cid FROM ("
+            f" SELECT px.vec_id, px.m, c.cid, row_number() OVER "
+            f"(PARTITION BY px.vec_id, px.m ORDER BY {d2} ASC, c.cid) AS rn "
+            f"FROM px JOIN {prev} c ON px.m = c.m) WHERE rn = 1)",
+            f"pu{it} AS (SELECT pa.m, pa.cid, t.i AS dim, SUM(px.sq[t.i]) AS s, "
+            f"COUNT(*) AS cnt FROM pa{it} pa "
+            f"JOIN px ON pa.vec_id = px.vec_id AND pa.m = px.m "
+            f"CROSS JOIN generate_series(1, {sub_w}) t(i) GROUP BY 1, 2, 3)",
+            f"pm{it} AS (SELECT m, cid, "
+            f"list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) ORDER BY dim) AS ce "
+            f"FROM pu{it} GROUP BY 1, 2)",
+            f"k{it} AS (SELECT p.m, p.cid, COALESCE(pm{it}.ce, p.ce) AS ce "
+            f"FROM {prev} p LEFT JOIN pm{it} ON p.m = pm{it}.m AND p.cid = pm{it}.cid)",
+        ]
+    pq_ctes = ", ".join(pq_parts)
+    kf = f"k{IVF_TRAIN_ITERS}"
+    pq_asg = (
         "asg AS (SELECT vec_id, CAST(m AS BIGINT) AS m, cid AS code_cid FROM ("
-        " SELECT vx.vec_id, vx.m, cx.cid, row_number() OVER ("
-        f"  PARTITION BY vx.vec_id, vx.m ORDER BY {pq_l2} ASC, cx.cid) AS rn"
-        " FROM vx JOIN cx ON vx.m = cx.m) WHERE rn = 1)"
+        " SELECT px.vec_id, px.m, c.cid, row_number() OVER "
+        f"(PARTITION BY px.vec_id, px.m ORDER BY {l2q('px.se', 'c.ce')} ASC, c.cid) AS rn "
+        f"FROM px JOIN {kf} c ON px.m = c.m) WHERE rn = 1)"
     )
-    sql["pq_codes"] = f"{pq_cte} SELECT vec_id, m, code_cid FROM asg"
+    sql["pq_codes"] = (
+        f"WITH {micro_cte}, {pq_ctes}, {pq_asg} SELECT vec_id, m, code_cid FROM asg"
+    )
     sql["ann_pq_topk"] = (
-        f"{pq_cte}, "
-        f"qx AS ({pq_sub_rows('v', 'query_id')} ), "
-        f"qf AS (SELECT * FROM qx WHERE query_id % {ANN_QUERY_EVERY} = 0), "
-        "qn AS (SELECT vec_id AS query_id, sqrt(list_dot_product(e, e)) AS qn "
-        f" FROM v WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
-        "lut AS (SELECT qf.query_id, qf.m, cx.cid, "
-        " list_dot_product(qf.se, cx.se) AS part, "
-        " list_dot_product(cx.se, cx.se) AS cn2 FROM qf JOIN cx ON qf.m = cx.m), "
+        f"WITH {micro_cte}, {pq_ctes}, {pq_asg}, "
+        f"qsub AS (SELECT vec_id AS query_id, m, se FROM px "
+        f"WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        f"qn AS (SELECT vec_id AS query_id, nrm AS qn FROM nn "
+        f"WHERE vec_id % {ANN_QUERY_EVERY} = 0), "
+        f"lut AS (SELECT q.query_id, c.m, c.cid, list_dot_product(q.se, c.ce) AS part, "
+        f"list_dot_product(c.ce, c.ce) AS cn2 FROM qsub q JOIN {kf} c ON q.m = c.m), "
         "sc AS (SELECT l.query_id, a.vec_id AS neighbor_id, "
         " sum(l.part) AS num, sum(l.cn2) AS rn2 "
         " FROM asg a JOIN lut l ON a.m = l.m AND a.code_cid = l.cid "
@@ -807,16 +865,16 @@ def oracle_sql() -> dict[str, str]:
         " FROM sc JOIN qn ON sc.query_id = qn.query_id), "
         # ADC candidate cut (top-C by quantized score) then exact
         # cosine re-rank of only those C ids — the engine's two-stage
-        # shape, mirrored
+        # shape, mirrored (micro scale throughout; cosine is
+        # scale-invariant)
         "cd AS (SELECT query_id, neighbor_id, row_number() OVER ("
         " PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS rnc FROM cs), "
         f"cf AS (SELECT query_id, neighbor_id FROM cd WHERE rnc <= {PQ_RERANK_C}), "
         "ex AS (SELECT cf.query_id, cf.neighbor_id, "
-        " CAST(round(list_dot_product(nv.e, qv.e) / "
-        "  (sqrt(list_dot_product(nv.e, nv.e)) * sqrt(list_dot_product(qv.e, qv.e)))"
+        " CAST(round(list_dot_product(nv.e, qv.e) / (nv.nrm * qv.nrm) "
         "  * 1000000) AS BIGINT) AS exact_u "
-        " FROM cf JOIN v nv ON cf.neighbor_id = nv.vec_id "
-        " JOIN v qv ON cf.query_id = qv.vec_id), "
+        " FROM cf JOIN nn nv ON cf.neighbor_id = nv.vec_id "
+        " JOIN nn qv ON cf.query_id = qv.vec_id), "
         "r AS (SELECT query_id, neighbor_id, CAST(row_number() OVER ("
         " PARTITION BY query_id ORDER BY exact_u DESC, neighbor_id) AS BIGINT) AS rank"
         " FROM ex) "

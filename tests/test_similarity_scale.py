@@ -148,3 +148,47 @@ def test_lsh_topk_cap_drops_degenerate_cells(spark):
     ).collect()
     neighbors = {r["neighbor_id"] for r in got}
     assert not any(n < 30 for n in neighbors)  # flood cells were capped out
+
+
+def test_ivf_and_pq_assignment_plans_are_map_only(spark):
+    """Round-5 verdict #2: assignment must be scan -> project, with the
+    trained centroids inline as literals — zero Exchange, zero Window
+    anywhere in the physical plan (the old row_number shape exchanged
+    N×C rows; at 10^12 vectors that shuffle IS the job)."""
+    emb = _emb(spark)
+    for df in (
+        similarity.ivf_assign(emb, n_dims=64),
+        similarity.pq_assign(emb, n_dims=64),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:400]
+        assert "Window" not in plan, plan[:400]
+        assert "Scan parquet" in plan
+
+
+def test_ivf_training_is_partitioning_independent(spark):
+    """The integer micro-unit Lloyd's contract: centroid sums are exact
+    BIGINTs, so the trained centroids must be bit-identical however the
+    corpus is partitioned (FP mean accumulation would break this)."""
+    emb = _emb(spark)
+    c1 = similarity.train_ivf_centroids(emb.repartition(1), n_dims=64)
+    c7 = similarity.train_ivf_centroids(emb.repartition(7), n_dims=64)
+    assert c1 == c7
+    assert len(c1) > 1
+    # training moved at least one centroid off its seed vector
+    seeds = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    moved = sum(
+        1
+        for cid, coords, _ in c1
+        if [round(x) for x in coords]
+        != [round(float(v) * 1e6) for v in seeds[cid]]
+    )
+    assert moved > 0
+
+
+def test_pq_codebooks_partitioning_independent(spark):
+    emb = _emb(spark)
+    b1 = similarity.train_pq_codebooks(emb.repartition(1), n_dims=64)
+    b5 = similarity.train_pq_codebooks(emb.repartition(5), n_dims=64)
+    assert b1 == b5
+    assert set(b1.keys()) == set(range(similarity.PQ_SUBSPACES))
