@@ -146,3 +146,41 @@ class TestMarkdownFlatten:
 
     def test_empty(self):
         assert markdown_to_plain_text("") == ""
+
+
+def test_mp3_id3v2_footer_flag_skipped():
+    """ID3v2.4 footer (header byte 5 bit 4): 10 extra bytes after the
+    tag body, NOT counted in the syncsafe size (ADVICE r4)."""
+    from typhoon_ocr_spark.oracle.media import parse_mp3_meta, write_mp3
+
+    plain = write_mp3(seed=3, n_frames=6)
+    base = write_mp3(seed=3, n_frames=6, id3=True)
+    assert base[:3] == b"ID3"
+    size = (
+        (base[6] & 0x7F) << 21 | (base[7] & 0x7F) << 14
+        | (base[8] & 0x7F) << 7 | (base[9] & 0x7F)
+    )
+    body = base[10:10 + size]
+    footer = b"3DI" + base[3:10]
+    tagged = (
+        b"ID3\x04\x00" + bytes([base[5] | 0x10]) + base[6:10]
+        + body + footer + plain
+    )
+    assert parse_mp3_meta(tagged) == parse_mp3_meta(plain)
+
+
+def test_mp3_bare_sync_needs_second_frame():
+    """A single plausible frame header inside arbitrary bytes must not
+    classify as mp3; a real stream (or a stream ending inside frame 1)
+    still does (ADVICE r4)."""
+    from typhoon_ocr_spark.oracle.media import sniff_media_kind, write_mp3
+
+    real = write_mp3(seed=5, n_frames=4)
+    assert sniff_media_kind(real) == "mp3"
+    # valid first header, then garbage where frame 2 should start
+    first_len = 144 * 128000 // 44100 + (5 % 2)
+    fake = bytes(real[:4]) + b"\x00" * (first_len - 4) + b"garbage-tail" * 40
+    assert sniff_media_kind(fake) is None
+    # stream that ends inside the first frame is still mp3 (truncated
+    # cohort contract: sniffed mp3, decode-error row downstream)
+    assert sniff_media_kind(bytes(real[:30])) == "mp3"

@@ -44,9 +44,15 @@ def sniff_media_kind(payload: Optional[bytes]) -> Optional[str]:
     if data[:3] == b"ID3":
         return "mp3"
     if len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
-        # bare frame sync: accept only if the header fields are valid
-        if _mp3_header(data, 0) is not None:
-            return "mp3"
+        # bare frame sync: one plausible header classifies far too many
+        # arbitrary binaries as mp3 (ADVICE r4) — also require the NEXT
+        # frame header to be valid, unless the stream ends inside or
+        # exactly at the first frame (single-frame file)
+        hdr = _mp3_header(data, 0)
+        if hdr is not None:
+            frame_len = hdr[0]
+            if frame_len >= len(data) or _mp3_header(data, frame_len) is not None:
+                return "mp3"
     return None
 
 
@@ -382,6 +388,12 @@ def parse_mp3_meta(payload: bytes) -> Tuple[int, int, int, int]:
             | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
         )
         pos = 10 + size
+        # ID3v2.4 footer flag (header byte 5 bit 4): a 10-byte footer
+        # follows the tag body and is NOT counted in the syncsafe size
+        # (ADVICE r4 — without this the walk lands 10 bytes short of
+        # the first frame and dies with 'no valid MPEG audio frames')
+        if data[5] & 0x10:
+            pos += 10
     n_frames = total_samples = 0
     sample_rate = None
     duration = 0.0

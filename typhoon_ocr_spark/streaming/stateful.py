@@ -368,10 +368,15 @@ def _make_pack_fn(budget: int):
     ) -> Iterable[pd.DataFrame]:
         cum = state.get[0] if state.exists else 0
         shard = key[0]
-        for pdf in frames:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("doc_id")  # deterministic within batch
+        # one shard's micro-batch can span several Arrow chunks;
+        # sorting each chunk independently would emit offsets in chunk
+        # order, not doc_id order, silently breaking the documented
+        # within-batch parity for large groups (ADVICE r4). Concatenate
+        # the iterator first — the cost is one shard-batch in memory,
+        # bounded by the micro-batch trigger.
+        chunks = [pdf for pdf in frames if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
             out = {k: [] for k in ("doc_id", "shard", "n_tokens", "seq_id", "seq_offset")}
             for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
                 out["doc_id"].append(int(doc_id))
