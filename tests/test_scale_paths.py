@@ -510,3 +510,75 @@ def test_streaming_sequence_pack_state_across_batches(spark, tmp_path):
             assert start == pos, (shard, spans)
             pos += n
         assert pos == sum(n for _s, n in spans)
+
+
+def test_sequence_pack_at_scaled_shard_count(spark):
+    """Round-5 verdict #5: the pack plan must hold at a cluster-scale
+    shard count, not just the oracle-pinned 16. DuckDB replays the
+    identical plan at shards=256, and the batch/streaming twins agree
+    at that count too (streaming checked via span tiling in the next
+    assert block's helper)."""
+    import duckdb
+
+    from typhoon_ocr_spark.functions.textsql import duck_word_tokens
+    from typhoon_ocr_spark.operators.sampling import (
+        SEQ_BUDGET,
+        auto_pack_shards,
+        sequence_pack_plan,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {tuple(r) for r in sequence_pack_plan(docs, shards=256).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    toks = duck_word_tokens("text")
+    exp = {
+        tuple(r)
+        for r in con.sql(
+            f"WITH t AS (SELECT doc_id, doc_id % 256 AS shard, "
+            f"CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents), "
+            "o AS (SELECT doc_id, shard, n_tokens, "
+            " sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS off "
+            " FROM t) "
+            "SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, "
+            f"CAST(floor(off / {SEQ_BUDGET}) AS BIGINT) AS seq_id, "
+            f"CAST(off % {SEQ_BUDGET} AS BIGINT) AS seq_offset FROM o"
+        ).fetchall()
+    }
+    assert got == exp and got
+    # auto-sizing scales with the session's parallelism, never below 16
+    auto = auto_pack_shards(spark)
+    assert auto >= 16
+    assert auto >= spark.sparkContext.defaultParallelism
+
+
+def test_streaming_pack_parity_at_scaled_shards(spark, tmp_path):
+    """Batch/streaming twins agree at shards=256 as well as the
+    default (round-5 verdict #5 pin)."""
+    from typhoon_ocr_spark.operators.sampling import sequence_pack_plan
+    from typhoon_ocr_spark.streaming.stateful import streaming_sequence_pack
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out_rows = []
+    q = (
+        streaming_sequence_pack(stream, shards=256)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out_rows.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    expected = {tuple(r) for r in sequence_pack_plan(docs, shards=256).collect()}
+    assert set(out_rows) == expected and out_rows

@@ -94,13 +94,30 @@ def stratified_sample(
 
 
 SEQ_BUDGET = 2048   # tokens per packed training sequence
-PACK_SHARDS = 16    # independent packing chains
+# Default shard count for the DRIVER/oracle contract (the pack plan's
+# output depends on the shard layout, so the correctness gate pins a
+# constant). Real jobs pass shards=None → auto_pack_shards, which
+# scales the packing stage's parallelism with the cluster instead of
+# capping it at 16 (round-5 verdict #5).
+PACK_SHARDS = 16
+PACK_SHARDS_PER_CORE = 4  # shards ≫ cores keeps stragglers amortized
+
+
+def auto_pack_shards(spark) -> int:
+    """Cluster-sized shard count: defaultParallelism × PACK_SHARDS_PER_CORE,
+    never below PACK_SHARDS. On a 1000-executor × 8-core cluster this is
+    32k independent chains — each shard's running-sum window stays a
+    short sequential dependency while the stage uses every core."""
+    return max(
+        PACK_SHARDS,
+        spark.sparkContext.defaultParallelism * PACK_SHARDS_PER_CORE,
+    )
 
 
 def sequence_pack_plan(
     documents: DataFrame,
     budget: int = SEQ_BUDGET,
-    shards: int = PACK_SHARDS,
+    shards: int | None = PACK_SHARDS,
     text_col: str = "text",
 ) -> DataFrame:
     """Concat-and-split sequence-packing plan (the GPT-style
@@ -115,9 +132,15 @@ def sequence_pack_plan(
     parallel, which is exactly how a distributed packer works (each
     worker owns a shard); sequence ids are only meaningful per shard,
     so they're emitted as (shard, seq_id).
+    ``shards=None`` sizes the shard count from the cluster
+    (auto_pack_shards); pass an explicit count when the plan must be
+    reproducible across cluster sizes (the oracle gate pins
+    PACK_SHARDS=16).
     Output: (doc_id, shard, n_tokens, seq_id, seq_offset)."""
     from ..operators.dedup import word_tokens
 
+    if shards is None:
+        shards = auto_pack_shards(documents.sparkSession)
     toks = F.size(word_tokens(F.col(text_col))).cast("long")
     frame = documents.select(
         "doc_id", (F.col("doc_id") % shards).cast("long").alias("shard"),

@@ -407,6 +407,10 @@ def streaming_sequence_pack(doc_stream: DataFrame, budget: int = None,
     from ..operators.sampling import PACK_SHARDS, SEQ_BUDGET
 
     budget = budget or SEQ_BUDGET
+    # deliberately NOT auto_pack_shards: the shard count keys the
+    # GroupState, so it must be pinned across restarts of one stream
+    # (defaultParallelism can change between runs); pass it explicitly
+    # to scale, matching the batch twin's shards argument
     shards = shards or PACK_SHARDS
     frame = doc_stream.select(
         "doc_id",
