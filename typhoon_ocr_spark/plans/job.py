@@ -56,6 +56,21 @@ def main(argv=None) -> int:
                              "against an older input snapshot")
     parser.add_argument("--events", action="store_true",
                         help="stream mode: also emit SSE-analog progress event rows")
+    parser.add_argument("--endpoint-url", default=None,
+                        help="OpenAI-compatible base URL (e.g. http://host/v1): run the "
+                             "full OCR composition — per-page prompt -> endpoint call "
+                             "with bounded retry -> parse -> assembly — instead of "
+                             "extraction only. API key from TYPHOON_OCR_API_KEY / "
+                             "TYPHOON_API_KEY / OPENAI_API_KEY (never argv)")
+    parser.add_argument("--model", default=None,
+                        help="model name (default: TYPHOON_OCR_MODEL env, then typhoon-ocr)")
+    parser.add_argument("--task-type", default="default",
+                        choices=("default", "structure", "v1.5"))
+    parser.add_argument("--attempts", type=int, default=5,
+                        help="per-page endpoint retry bound (reference: 5, 2**n backoff)")
+    parser.add_argument("--max-in-flight", type=int, default=5,
+                        help="concurrent endpoint calls per Python worker (reference: "
+                             "asyncio.Semaphore(5))")
     parser.add_argument("--master", default=None)
     args = parser.parse_args(argv)
 
@@ -66,7 +81,29 @@ def main(argv=None) -> int:
         spread_page_threshold=args.spread_threshold,
     )
 
+    page_transform = None
+    if args.endpoint_url:
+        from ..functions.endpoint import make_chat_endpoint_fn
+        from ..functions.udfs import make_external_call_udf
+        from ..operators.extract import ocr_pages
+
+        call_udf = make_external_call_udf(
+            make_chat_endpoint_fn(
+                args.endpoint_url, model=args.model, task_type=args.task_type
+            ),
+            attempts=args.attempts,
+            error_value="<failed>",
+            max_in_flight=args.max_in_flight,
+        )
+        page_transform = lambda pf: ocr_pages(  # noqa: E731
+            pf, call_udf, error_value="<failed>", task_type=args.task_type
+        )
+
     if args.mode == "stream":
+        if page_transform is not None:
+            parser.error("--endpoint-url is supported in batch/resumable modes; "
+                         "stream mode extracts only (wire ocr_pages into "
+                         "write_stream_batch to change that)")
         from ..streaming.runner import stream_extract
 
         ckpt = args.checkpoint or f"{args.output}/_checkpoint"
@@ -82,7 +119,7 @@ def main(argv=None) -> int:
 
         job = ResumableExtractJob(
             spark, args.input, args.output, n_buckets=args.buckets, config=config,
-            stale_policy=args.stale_policy,
+            stale_policy=args.stale_policy, page_transform=page_transform,
         )
         summary = job.run()
         print(json.dumps({"mode": "resumable", **summary,
@@ -93,7 +130,10 @@ def main(argv=None) -> int:
     from ..streaming.metrics import observed_page_frame
 
     pages = spark.read.parquet(args.input)
-    frame, observation = observed_page_frame(extract_pages(pages, config))
+    page_frame = extract_pages(pages, config)
+    if page_transform is not None:
+        page_frame = page_transform(page_frame)
+    frame, observation = observed_page_frame(page_frame)
     if args.page_level:
         wanted = parse_page_ranges(args.pages)
         if wanted:
