@@ -396,8 +396,12 @@ PQ_SUBSPACES = 4
 # ADC quantization loses within-cohort order (cohort-mates share codes,
 # so their ADC scores tie); production PQ pipelines close that gap with
 # an exact re-rank of the top-C ADC candidates — only C vectors per
-# query ever move, the code-only scan is unchanged.
-PQ_RERANK_C = 64
+# query ever move, the code-only scan is unchanged. C sizes against
+# expected cell density: on the realistic Zipf-clustered corpus the
+# head cluster's vectors collapse onto few code combinations, so ADC
+# ties push true neighbors past a narrow cut (measured clustered
+# recall 0.74 @ C=64 → 0.91 @ C=192; BENCH.md r5). C·Q stays tiny.
+PQ_RERANK_C = 192
 
 
 def _l2(a: Column, b: Column) -> Column:
@@ -676,6 +680,7 @@ def pq_adc_topk(
     query_every: int = ANN_QUERY_EVERY,
     k: int = ANN_TOP_K,
     rerank_c: int = PQ_RERANK_C,
+    train_iters: int = IVF_TRAIN_ITERS,
 ) -> DataFrame:
     """PQ search via ADC: queries build per-subspace lookup tables of
     (query-sub · centroid-sub) inner products plus the centroids'
@@ -700,7 +705,9 @@ def pq_adc_topk(
     come from the map-only pq_assign. ADC scoring runs in the micro
     scale (cosine is scale-invariant); the exact re-rank scores RAW
     vectors. Output: (query_id, rank, neighbor_id)."""
-    codebooks = train_pq_codebooks(embeddings, n_dims, centroid_every, n_sub)
+    codebooks = train_pq_codebooks(
+        embeddings, n_dims, centroid_every, n_sub, iters=train_iters
+    )
     if not codebooks:
         return embeddings.select(
             F.col("vec_id").alias("query_id"),
@@ -818,6 +825,7 @@ def ivf_probed_topk(
     query_every: int = ANN_QUERY_EVERY,
     k: int = ANN_TOP_K,
     n_dims: int | None = None,
+    train_iters: int = IVF_TRAIN_ITERS,
 ) -> DataFrame:
     """IVF search: queries probe their ``n_probe`` nearest TRAINED
     centroids and brute-force only the vectors assigned to those cells.
@@ -827,7 +835,9 @@ def ivf_probed_topk(
     map-only on the tiny query side. Candidate scoring joins on the
     cell id, so no stage ever shuffles the full vector set against the
     queries. Output: (query_id, rank, neighbor_id)."""
-    centroids = train_ivf_centroids(embeddings, centroid_every, n_dims=n_dims)
+    centroids = train_ivf_centroids(
+        embeddings, centroid_every, iters=train_iters, n_dims=n_dims
+    )
     if not centroids:
         return embeddings.select(
             F.col("vec_id").alias("query_id"),

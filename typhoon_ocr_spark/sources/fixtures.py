@@ -605,6 +605,59 @@ def planted_embeddings(
     ]
 
 
+def clustered_embeddings(
+    n_vecs: int,
+    dims: int = 64,
+    n_clusters: int = 12,
+    spread: float = 0.35,
+    noise_frac: float = 0.1,
+) -> List[tuple]:
+    """Deterministic clustered corpus with REALISTIC shape (round-5
+    verdict #3: planted equal-size cohorts flatter untrained sampled
+    cohort centroids): Zipf-skewed cluster sizes (cluster k draws mass
+    ∝ 1/(k+1), so the head cluster is ~an order denser than the tail),
+    moderate within-cluster spread, and ``noise_frac`` unclustered
+    background vectors. True top-k is meaningful (neighbors concentrate
+    in-cluster) while the cell-occupancy skew is exactly what punishes
+    quantizers whose cells ignore the data distribution.
+    All values md5-derived — no RNG state. Returns [(vec_id, [f32...])]."""
+    import hashlib
+
+    def h(key: str) -> float:  # uniform-ish in [-1, 1)
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) / 0x80000000 - 1.0
+
+    def u(key: str) -> float:  # uniform-ish in [0, 1)
+        return (h(key) + 1.0) / 2.0
+
+    weights = [1.0 / (k + 1) for k in range(n_clusters)]
+    total = sum(weights)
+    cdf, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cdf.append(acc)
+    centers = {
+        k: [h(f"cb|{k}|{d}") for d in range(dims)] for k in range(n_clusters)
+    }
+    rows = []
+    for i in range(n_vecs):
+        pick = u(f"ca|{i}")
+        if pick < noise_frac:  # unclustered background
+            rows.append((i, [float(h(f"cn|{i}|{d}")) for d in range(dims)]))
+            continue
+        p = (pick - noise_frac) / (1.0 - noise_frac)
+        k = next(j for j, c in enumerate(cdf) if p < c or j == n_clusters - 1)
+        rows.append(
+            (
+                i,
+                [
+                    float(centers[k][d] + spread * h(f"cv|{i}|{d}"))
+                    for d in range(dims)
+                ],
+            )
+        )
+    return rows
+
+
 def generate_media(n_rows: int):
     """Deterministic audio/video table: WAV (real PCM16 synth, varied
     rate/channels/length), MP4 shells (real mvhd duration), raw-gray
