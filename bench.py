@@ -115,14 +115,25 @@ def scale_run(cores: int, cluster: bool = False) -> None:
     extra_conf = {
         "spark.sql.files.maxPartitionBytes": str(split_bytes),
         "spark.sql.files.openCostInBytes": str(64 * 1024),
-        # bench-scale knob: default 64 MiB advisory size lets AQE
-        # coalesce the assembly+write stage to 1-2 tasks here (it
-        # is the right default when reducers see GBs)
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(4 * 1024 * 1024),
+        # bench-scale knob: Spark's 64 MiB advisory lets AQE coalesce
+        # the assembly+write stage to 1-2 tasks here; 4 MiB (rounds
+        # 2-4) over-fragments it at 32 cores — the write tail became
+        # the measured scaling gap. 16 MiB cuts the write-task count
+        # 4x and was the decisive r5 A/B win: raw 8→32 efficiency
+        # 0.49-0.51 (r4 band) → 0.54-0.62 across two windows, best
+        # 32-core rate 24.3k → 27.1k docs/s. (Shuffle compression off
+        # re-measured alongside: noise, matching the r3 rejection —
+        # production keeps lz4.)
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(16 * 1024 * 1024),
         # bench corpus has no multi-MB payloads; larger batches cut
         # JVM<->Python round-trips (A/B: 15.7s vs 17.1s at 32 cores)
         "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
     }
+    # A/B hook: JSON dict of extra spark confs (r5 scaling experiments:
+    # shuffle compression, advisory partition size, agg fallback)
+    extra_json = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra_json:
+        extra_conf.update(json.loads(extra_json))
     if cluster:
         import pyspark
 
