@@ -491,7 +491,12 @@ def test_vp8l_truncated_is_image_error():
         decode_image(data[:40])
 
 
-def test_vp8l_transform_rejected_loudly():
+def test_vp8l_2d_distance_map_rejected_loudly():
+    """Round 5 closed the transform subset; the remaining documented
+    loud gap is the 120-entry 2D LZ77 distance map (its normative
+    offset table is not reconstructible in-sandbox — a wrong table
+    would silently corrupt pixels reported as decoded='real').
+    Duplicate transforms also reject."""
     from typhoon_ocr_spark.oracle.images import (
         ImageError,
         _Vp8lBitWriter,
@@ -499,12 +504,52 @@ def test_vp8l_transform_rejected_loudly():
         decode_image,
     )
 
+    # distance code <= 120 -> 2D neighborhood mapping -> loud error.
+    # Same normal green code as the LZ77 test (100/120/length-259) but
+    # the distance prefix decodes to dist_code 1 (mapped range).
     bw = _Vp8lBitWriter()
-    _vp8l_header_bits(bw, 4, 4)
-    bw.write(1, 1)  # transform present -> documented unsupported subset
-    bw.write(2, 2)  # SUBTRACT_GREEN
-    with pytest.raises(ImageError, match="transform"):
+    _vp8l_header_bits(bw, 4, 2)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    bw.write(0, 1)  # green: not simple
+    bw.write(1, 4)  # num_codes = 5
+    for ln in (0, 2, 0, 1, 2):  # order 17,18,0,1,2
+        bw.write(ln, 3)
+    bw.write(0, 1)  # no explicit max_symbol
+
+    def clc(bits_, extra=None, nbits=7):
+        for b in bits_:
+            bw.write(b, 1)
+        if extra is not None:
+            bw.write(extra, nbits)
+
+    clc((1, 1), 100 - 11)   # 18: symbols 0..99 length 0
+    clc((0,))               # symbol 100 -> length 1
+    clc((1, 1), 19 - 11)    # 101..119 -> 0
+    clc((1, 0))             # symbol 120 -> length 2
+    clc((1, 1), 138 - 11)   # 121..258 -> 0
+    clc((1, 0))             # symbol 259 -> length 2
+    clc((1, 1), 20 - 11)    # 260..279 -> 0
+    bw.simple1(10)
+    bw.simple1(20)
+    bw.simple1(255)
+    bw.simple1(0)   # distance prefix symbol 0 -> dist_code 1 (mapped)
+    bw.write(0, 1)  # pixel 0: literal green 100
+    bw.write(1, 1)  # green "11" -> 259: back-reference length 4
+    bw.write(1, 1)
+    with pytest.raises(ImageError, match="distance map"):
         decode_image(_vp8l_container(bw.finish()))
+
+    # duplicate transform types reject
+    bw2 = _Vp8lBitWriter()
+    _vp8l_header_bits(bw2, 4, 4)
+    bw2.write(1, 1)
+    bw2.write(2, 2)  # SUBTRACT_GREEN
+    bw2.write(1, 1)
+    bw2.write(2, 2)  # SUBTRACT_GREEN again
+    with pytest.raises(ImageError, match="duplicate"):
+        decode_image(_vp8l_container(bw2.finish()))
 
 
 def test_vp8l_lz77_backreference_and_normal_prefix_code():
@@ -819,3 +864,163 @@ def test_frame_pixel_stats_operator(spark):
         (1,) + row for row in frame_stats_rows(bytes(payloads[0][1]))
     )
     assert got == expected and got
+
+
+# --- VP8L pixel transforms (round 5: subset gap closed) ---------------------
+
+def _vp8l_decode_rgba(body_bits: bytes):
+    from typhoon_ocr_spark.oracle.images import _vp8l_container, decode_webp
+
+    w, h, ch, px = decode_webp(_vp8l_container(body_bits))
+    assert ch == 4
+    return w, h, [tuple(px[4 * i : 4 * i + 4]) for i in range(w * h)]
+
+
+def test_vp8l_subtract_green_writer_roundtrip():
+    """subtract_green=True emits identical stored bits behind the
+    transform header; decoded red/blue gain green mod 256."""
+    from typhoon_ocr_spark.oracle.images import decode_webp, write_webp_lossless
+
+    plain = decode_webp(write_webp_lossless(5, 4, seed=9))
+    sg = decode_webp(write_webp_lossless(5, 4, seed=9, subtract_green=True))
+    assert plain[:2] == sg[:2]
+    pp, ps = plain[3], sg[3]
+    for i in range(0, len(pp), 4):
+        r, g, b, a = pp[i], pp[i + 1], pp[i + 2], pp[i + 3]
+        assert ps[i + 1] == g and ps[i + 3] == a
+        assert ps[i] == (r + g) % 256
+        assert ps[i + 2] == (b + g) % 256
+
+
+def test_vp8l_predictor_transform_hand_stream():
+    """3×2 image, one predictor block in mode 3 (top-right): exercises
+    the black/L/T border rules AND the flat-array TR addressing (the
+    last column's TR is the current row's first pixel). Expected pixels
+    hand-derived."""
+    from typhoon_ocr_spark.oracle.images import _Vp8lBitWriter
+
+    bw = _Vp8lBitWriter()
+    bw.write(0x2F, 8)
+    bw.write(2, 14)   # width 3
+    bw.write(1, 14)   # height 2
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)    # transform present
+    bw.write(0, 2)    # PREDICTOR
+    bw.write(0, 3)    # size_bits = 2 -> 4x4 blocks -> 1x1 sub-image
+    bw.write(0, 1)    # sub: no color cache
+    bw.simple1(3)     # sub green = predictor mode 3 (TR)
+    bw.simple1(0)     # sub red
+    bw.simple1(0)     # sub blue
+    bw.simple1(0)     # sub alpha
+    bw.simple1(1)     # sub distance
+    bw.write(0, 1)    # no more transforms
+    bw.write(0, 1)    # main: no color cache
+    bw.write(0, 1)    # main: no meta prefix
+    bw.simple2(0, 1)  # green residuals
+    bw.simple2(0, 1)  # red residuals
+    bw.simple2(0, 1)  # blue residuals
+    bw.simple1(0)     # alpha residual constant 0
+    bw.simple1(1)     # distance
+    g_res = [1, 0, 1, 1, 1, 0]
+    r_res = [0, 1, 1, 0, 1, 1]
+    b_res = [1, 1, 0, 1, 0, 1]
+    for i in range(6):
+        bw.write(g_res[i], 1)
+        bw.write(r_res[i], 1)
+        bw.write(b_res[i], 1)
+    w, h, px = _vp8l_decode_rgba(bw.finish())
+    assert (w, h) == (3, 2)
+    # p0=black+res; row0: L; p3: T; p4: TR=p2; p5: TR=p3
+    assert px == [
+        (0, 1, 1, 255),
+        (1, 1, 2, 255),
+        (2, 2, 2, 255),
+        (0, 2, 2, 255),
+        (3, 3, 2, 255),
+        (1, 2, 3, 255),
+    ]
+
+
+def test_vp8l_color_transform_hand_stream():
+    """2×2 image, one color-transform block with green_to_red=32 (so
+    the red delta is exactly the signed green value); green_to_blue and
+    red_to_blue zero. Expected pixels hand-derived."""
+    from typhoon_ocr_spark.oracle.images import _Vp8lBitWriter
+
+    bw = _Vp8lBitWriter()
+    bw.write(0x2F, 8)
+    bw.write(1, 14)
+    bw.write(1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)    # transform present
+    bw.write(1, 2)    # COLOR
+    bw.write(0, 3)    # size_bits 2 -> 1x1 sub
+    bw.write(0, 1)    # sub: no cache
+    bw.simple1(0)     # sub green  = green_to_blue 0
+    bw.simple1(0)     # sub red    = red_to_blue 0
+    bw.simple1(32)    # sub blue   = green_to_red 32 -> delta == s8(green)
+    bw.simple1(0)
+    bw.simple1(1)
+    bw.write(0, 1)    # no more transforms
+    bw.write(0, 1)    # main: no cache
+    bw.write(0, 1)    # main: no meta
+    bw.simple2(0, 1)  # green
+    bw.simple2(5, 6)  # stored red
+    bw.simple1(7)     # stored blue
+    bw.simple1(255)   # alpha
+    bw.simple1(1)
+    for gbit, rbit in ((0, 0), (1, 1), (1, 0), (0, 1)):
+        bw.write(gbit, 1)
+        bw.write(rbit, 1)
+    w, h, px = _vp8l_decode_rgba(bw.finish())
+    assert (w, h) == (2, 2)
+    assert px == [
+        (5, 0, 7, 255),
+        (7, 1, 7, 255),
+        (6, 1, 7, 255),
+        (6, 0, 7, 255),
+    ]
+
+
+def test_vp8l_color_indexing_hand_stream():
+    """8×1 two-color palette: indices bit-pack 8/byte (leftmost pixel
+    in the least-significant bit), palette entries delta-coded."""
+    from typhoon_ocr_spark.oracle.images import _Vp8lBitWriter
+
+    bw = _Vp8lBitWriter()
+    bw.write(0x2F, 8)
+    bw.write(7, 14)   # width 8
+    bw.write(0, 14)   # height 1
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(1, 1)     # transform present
+    bw.write(3, 2)     # COLOR_INDEXING
+    bw.write(1, 8)     # palette size 2
+    # palette stream (2x1 image): entry0 = (r10,g20,b30,a255);
+    # entry1 coded as the delta (+1,+1,+1,+0)
+    bw.write(0, 1)     # no cache
+    bw.simple2(20, 1)  # green: 20 then +1
+    bw.simple2(10, 1)  # red
+    bw.simple2(30, 1)  # blue
+    bw.simple2(255, 0) # alpha: 255 then +0
+    bw.simple1(1)
+    for bit in (0, 1):  # entry index: channel order green,red,blue,alpha
+        bw.write(bit, 1)
+        bw.write(bit, 1)
+        bw.write(bit, 1)
+        bw.write(bit, 1)
+    bw.write(0, 1)     # no more transforms
+    # main image at packed width 1: one literal green byte 0b01011010
+    bw.write(0, 1)     # no cache
+    bw.write(0, 1)     # no meta
+    bw.simple1(90)
+    bw.simple1(0)
+    bw.simple1(0)
+    bw.simple1(0)
+    bw.simple1(1)
+    w, h, px = _vp8l_decode_rgba(bw.finish())
+    assert (w, h) == (8, 1)
+    A, B = (10, 20, 30, 255), (11, 21, 31, 255)
+    assert px == [A, B, A, B, B, A, B, A]

@@ -553,12 +553,15 @@ def _jpeg_scan(data, pos, width, height, comps, qt, huff_dc, huff_ac,
 # --------------------------------------------------------------------------
 # WebP lossless (VP8L) — RFC 9649 §3: LSB-first bitstream, canonical
 # prefix codes (deflate-style construction), optional LZ77 back-
-# references and a color cache, recursive meta prefix (entropy) images.
-# Supported subset (documented, loud): the four pixel TRANSFORMS and
-# the 120-entry 2D distance map raise ImageError; plain distances
-# (code > 120), both simple and normal prefix codes, color cache and
-# meta prefix images decode fully. Lossy VP8 stays out of scope (video
-# codec). The reference reads all of these through PIL
+# references and a color cache, recursive meta prefix (entropy) images,
+# and (round 5) all FOUR pixel transforms — predictor (14 modes,
+# flat-array border addressing), color (signed (t*c)>>5 deltas),
+# subtract-green, and color-indexing incl. sub-byte index packing.
+# Remaining documented loud subset: the 120-entry 2D LZ77 distance map
+# (its normative offset table is not reconstructible in-sandbox; a
+# wrong table would silently corrupt pixels reported as
+# decoded='real'). Lossy VP8 stays out of scope (video codec). The
+# reference reads all of these through PIL
 # (/root/reference/backend/routes/ocr.py:75-82).
 # --------------------------------------------------------------------------
 
@@ -708,10 +711,214 @@ def _vp8l_lz77_value(br: _Vp8lReader, code: int) -> int:
     return offset + br.bits(extra) + 1
 
 
+def _vp8l_avg2(a: int, b: int) -> int:
+    """Per-byte floor average of two ARGB words (carry-free)."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _vp8l_apply_subtract_green(pix) -> None:
+    """Inverse subtract-green (RFC 9649 §3.5.3): add green back into
+    red and blue, mod 256."""
+    for i, v in enumerate(pix):
+        g = (v >> 8) & 0xFF
+        r = (((v >> 16) & 0xFF) + g) & 0xFF
+        b = ((v & 0xFF) + g) & 0xFF
+        pix[i] = (v & 0xFF00FF00) | (r << 16) | b
+
+
+def _vp8l_apply_predictor(pix, width: int, height: int, data) -> None:
+    """Inverse predictor transform (RFC 9649 §3.5.1): per-block mode
+    from the sub-image's green channel; residuals add per byte to the
+    predicted neighbor combination. Border rules: (0,0) predicts
+    opaque black, the top row predicts L, the left column predicts T;
+    flat-array addressing makes the last column's TR the current row's
+    first pixel — the spec's exact out-of-bounds rule."""
+    size_bits, block_w, sub = data
+
+    def clamp(v: int) -> int:
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    def cas_full(l: int, t: int, tl: int) -> int:
+        out = 0
+        for sh in (0, 8, 16, 24):
+            out |= clamp(
+                ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+            ) << sh
+        return out
+
+    def cas_half(l: int, t: int, tl: int) -> int:
+        a = _vp8l_avg2(l, t)
+        out = 0
+        for sh in (0, 8, 16, 24):
+            ac, bc = (a >> sh) & 0xFF, (tl >> sh) & 0xFF
+            out |= clamp(ac + int((ac - bc) / 2)) << sh  # C trunc-toward-0
+        return out
+
+    def select(l: int, t: int, tl: int) -> int:
+        pl = pt = 0
+        for sh in (0, 8, 16, 24):
+            lc, tc, tlc = (l >> sh) & 0xFF, (t >> sh) & 0xFF, (tl >> sh) & 0xFF
+            p = lc + tc - tlc
+            pl += abs(p - lc)
+            pt += abs(p - tc)
+        return l if pl <= pt else t
+
+    for pos in range(width * height):
+        x, y = pos % width, pos // width
+        if pos == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = pix[pos - 1]
+        elif x == 0:
+            pred = pix[pos - width]
+        else:
+            mode = (
+                sub[(y >> size_bits) * block_w + (x >> size_bits)] >> 8
+            ) & 0xFF
+            left = pix[pos - 1]
+            top = pix[pos - width]
+            tl = pix[pos - width - 1]
+            tr = pix[pos - width + 1]  # last column: current row's first
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = left
+            elif mode == 2:
+                pred = top
+            elif mode == 3:
+                pred = tr
+            elif mode == 4:
+                pred = tl
+            elif mode == 5:
+                pred = _vp8l_avg2(_vp8l_avg2(left, tr), top)
+            elif mode == 6:
+                pred = _vp8l_avg2(left, tl)
+            elif mode == 7:
+                pred = _vp8l_avg2(left, top)
+            elif mode == 8:
+                pred = _vp8l_avg2(tl, top)
+            elif mode == 9:
+                pred = _vp8l_avg2(top, tr)
+            elif mode == 10:
+                pred = _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+            elif mode == 11:
+                pred = select(left, top, tl)
+            elif mode == 12:
+                pred = cas_full(left, top, tl)
+            elif mode == 13:
+                pred = cas_half(left, top, tl)
+            else:
+                raise ImageError("VP8L: bad predictor mode")
+        v = pix[pos]
+        pix[pos] = (
+            (((v & 0x00FF00FF) + (pred & 0x00FF00FF)) & 0x00FF00FF)
+            | (((v & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00)
+        )
+
+
+def _vp8l_apply_color_transform(pix, width: int, height: int, data) -> None:
+    """Inverse color transform (RFC 9649 §3.5.2): per-block
+    ColorTransformElement (green_to_red in the blue channel,
+    green_to_blue in green, red_to_blue in red); deltas are signed
+    (t*c)>>5 products added mod 256 — red first, then blue using the
+    NEW red."""
+    size_bits, block_w, sub = data
+    for pos in range(width * height):
+        x, y = pos % width, pos // width
+        e = sub[(y >> size_bits) * block_w + (x >> size_bits)]
+        g2r = _vp8l_s8(e & 0xFF)
+        g2b = _vp8l_s8((e >> 8) & 0xFF)
+        r2b = _vp8l_s8((e >> 16) & 0xFF)
+        v = pix[pos]
+        g = _vp8l_s8((v >> 8) & 0xFF)
+        r = (((v >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
+        b = ((v & 0xFF) + ((g2b * g) >> 5) + ((r2b * _vp8l_s8(r)) >> 5)) & 0xFF
+        pix[pos] = (v & 0xFF00FF00) | (r << 16) | b
+
+
+def _vp8l_apply_color_indexing(pix, packed_w: int, height: int,
+                               orig_w: int, data):
+    """Inverse color-indexing (RFC 9649 §3.5.4): indices live in the
+    green channel; palettes of ≤16 colors pack several sub-byte
+    indices per green byte, leftmost pixel in the least-significant
+    bits. Out-of-range indices decode as transparent black (0),
+    matching libwebp."""
+    wb, pal = data
+    n = len(pal)
+    if wb == 0:
+        return [
+            pal[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < n else 0 for p in pix
+        ]
+    per = 1 << wb
+    ibits = 8 >> wb
+    mask = (1 << ibits) - 1
+    out = [0] * (orig_w * height)
+    for y in range(height):
+        row = y * packed_w
+        for px in range(packed_w):
+            packed = (pix[row + px] >> 8) & 0xFF
+            base = px * per
+            for k in range(per):
+                x = base + k
+                if x >= orig_w:
+                    break
+                idx = (packed >> (k * ibits)) & mask
+                out[y * orig_w + x] = pal[idx] if idx < n else 0
+    return out
+
+
+def _vp8l_read_transforms(br: _Vp8lReader, width: int, height: int):
+    """Read the transform chain (RFC 9649 §3.5): each may appear once;
+    color-indexing shrinks the effective width for everything read
+    after it (and for the spatial image). Returns (transforms,
+    spatial_width) — each entry records the width it applies at."""
+    transforms = []
+    cur_w = width
+    while br.bits(1):
+        ttype = br.bits(2)
+        if any(t[0] == ttype for t in transforms):
+            raise ImageError("VP8L: duplicate transform")
+        if ttype == 2:  # subtract green: no payload
+            transforms.append((2, cur_w, None))
+        elif ttype in (0, 1):  # predictor / color: block-mode sub-image
+            size_bits = br.bits(3) + 2
+            bw = (cur_w + (1 << size_bits) - 1) >> size_bits
+            bh = (height + (1 << size_bits) - 1) >> size_bits
+            sub = _vp8l_decode_pixels(br, bw, bh, False)
+            transforms.append((ttype, cur_w, (size_bits, bw, sub)))
+        else:  # color indexing: delta-coded palette as a 1-high image
+            tsize = br.bits(8) + 1
+            coded = _vp8l_decode_pixels(br, tsize, 1, False)
+            pal = [coded[0] & 0xFFFFFFFF]
+            for i in range(1, tsize):
+                prev, cur = pal[i - 1], coded[i]
+                entry = 0
+                for sh in (0, 8, 16, 24):
+                    entry |= (((prev >> sh) + (cur >> sh)) & 0xFF) << sh
+                pal.append(entry)
+            if tsize <= 2:
+                wb = 3
+            elif tsize <= 4:
+                wb = 2
+            elif tsize <= 16:
+                wb = 1
+            else:
+                wb = 0
+            transforms.append((3, cur_w, (wb, pal)))
+            if wb:
+                cur_w = (cur_w + (1 << wb) - 1) >> wb
+    return transforms, cur_w
+
+
 def _vp8l_decode_pixels(br: _Vp8lReader, width: int, height: int, level0: bool):
-    """Decode one spatially-coded image stream to a list of ARGB ints."""
-    if level0 and br.bits(1):
-        raise ImageError("VP8L transform unsupported (subset decoder)")
+    """Decode one spatially-coded image stream to a list of ARGB ints.
+    ``level0`` marks the MAIN image, which alone may carry meta prefix
+    codes; transform sub-images and entropy images pass False. The
+    transform chain is read by the caller (decode_webp) before this."""
     cache = None
     cache_bits = 0
     if br.bits(1):
@@ -814,7 +1021,20 @@ def decode_webp(data: bytes) -> Tuple[int, int, int, bytes]:
     br.bits(1)  # alpha hint (informational)
     if br.bits(3) != 0:
         raise ImageError("VP8L: unknown version")
-    pix = _vp8l_decode_pixels(br, width, height, True)
+    transforms, cur_w = _vp8l_read_transforms(br, width, height)
+    pix = _vp8l_decode_pixels(br, cur_w, height, True)
+    w = cur_w
+    # inverses run in reverse bitstream order (§3.5)
+    for ttype, t_w, data in reversed(transforms):
+        if ttype == 3:
+            pix = _vp8l_apply_color_indexing(pix, w, height, t_w, data)
+            w = t_w
+        elif ttype == 2:
+            _vp8l_apply_subtract_green(pix)
+        elif ttype == 0:
+            _vp8l_apply_predictor(pix, w, height, data)
+        else:
+            _vp8l_apply_color_transform(pix, w, height, data)
     out = bytearray(width * height * 4)
     for i, v in enumerate(pix):
         j = 4 * i
@@ -1260,19 +1480,26 @@ def _vp8l_pattern_bits(x: int, y: int, seed: int) -> Tuple[int, int, int]:
     return g, r, b
 
 
-def write_webp_lossless(width: int, height: int, seed: int = 0) -> bytes:
-    """Real lossless WebP: a VP8L bitstream (RFC 9649) with no
-    transforms, no color cache, literal-only coding and 2-symbol
-    simple prefix codes per RGB channel — eight distinct colors in a
-    deterministic per-seed pattern, decodable by any compliant
-    reader. Alpha is constant 255 (0 bits/pixel)."""
+def write_webp_lossless(width: int, height: int, seed: int = 0,
+                        subtract_green: bool = False) -> bytes:
+    """Real lossless WebP: a VP8L bitstream (RFC 9649) with no color
+    cache, literal-only coding and 2-symbol simple prefix codes per
+    RGB channel — eight distinct stored triples in a deterministic
+    per-seed pattern, decodable by any compliant reader. Alpha is
+    constant 255 (0 bits/pixel). ``subtract_green=True`` emits the
+    subtract-green transform header, so a compliant decoder adds green
+    back into red/blue — the stored bits are identical, the DECODED
+    pixels differ (exercises the transform path end to end)."""
     bw = _Vp8lBitWriter()
     bw.write(0x2F, 8)
     bw.write(width - 1, 14)
     bw.write(height - 1, 14)
     bw.write(0, 1)  # alpha hint
     bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
+    if subtract_green:
+        bw.write(1, 1)  # transform present
+        bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
+    bw.write(0, 1)  # no (more) transforms
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
     (g0, g1), (r0, r1), (b0, b1) = _vp8l_palette(seed)
