@@ -1538,9 +1538,13 @@ def webp_seed_is_lossless(seed: int) -> bool:
 
 
 def write_webp(width: int, height: int, seed: int = 0) -> bytes:
-    """Fixture WebP: lossless seeds emit a real VP8L image, the rest
-    the header-only VP8X shell (keeps the lossy 'header-only'
+    """Fixture WebP: lossless seeds emit a real VP8L image — every
+    third one carrying the subtract-green transform (round 5: the
+    transform decode path is corpus-exercised, not just unit-tested) —
+    the rest the header-only VP8X shell (keeps the lossy 'header-only'
     pipeline path exercised)."""
     if webp_seed_is_lossless(seed):
-        return write_webp_lossless(width, height, seed)
+        return write_webp_lossless(
+            width, height, seed, subtract_green=seed % 3 == 0
+        )
     return write_webp_extended(width, height, seed)

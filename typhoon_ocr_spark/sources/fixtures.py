@@ -44,7 +44,7 @@ from ..oracle.respparse import parse_response_text
 
 SEED = 42
 # bump when payload generation changes so stale fixture dirs regenerate
-CORPUS_VERSION = 20  # v20: composed Latin-diacritic glyphs (render/message goldens only; pages payloads unchanged since v18)
+CORPUS_VERSION = 21  # v21: subtract-green VP8L cohort (every 3rd lossless webp seed carries the transform; pages payloads + image goldens change)
 DATA_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "data")
 
 TIERS = {
