@@ -262,6 +262,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sequence_pack"] = lambda spark, sf: sampling.sequence_pack_plan(
         _t(spark, sf, "documents")
     )
+    # benchmark stand-in: every 50th doc poses as the held-out eval set
+    q["decontaminate"] = lambda spark, sf: dedup.decontamination_flags(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "documents").filter(
+            F.col("doc_id") % dedup.DECONTAM_BENCH_EVERY == 0
+        ),
+    )
+    q["source_mix"] = lambda spark, sf: sampling.source_mix_plan(
+        _t(spark, sf, "documents").select("doc_id", "lang"),
+        targets={"en": 0.4, "de": 0.2, "es": 0.2, "zh": 0.2},
+        source_col="lang",
+    )
     q["ann_topk"] = lambda spark, sf: similarity.cosine_topk(_t(spark, sf, "embeddings"))
     q["ann_lsh_buckets"] = lambda spark, sf: similarity.lsh_sign_buckets(
         _t(spark, sf, "embeddings"), n_dims=similarity.EMB_DIMS
@@ -389,6 +401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # in; prompt_render/markdown_flatten/base64_validity (r04-green,
 # pytest-pinned UDFs) went out.
 _DRIVER_TAIL = [
+    "url_normalize",
+    "media_resize",
     "page_explode",
     "ordered_assembly",
     "top_price_per_flag",
@@ -960,6 +974,38 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN coalesce(per.n_shingles, 0) > 0 THEN "
         "round(100.0 * per.n_dup_shingles / per.n_shingles) ELSE 0 END AS BIGINT) "
         "AS dup_pct FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"
+    )
+    from typhoon_ocr_spark.operators.dedup import DECONTAM_BENCH_EVERY
+    from typhoon_ocr_spark.operators.sampling import MIX_SALT
+
+    sql["decontaminate"] = (
+        f"WITH t AS (SELECT doc_id, {toks} AS tk FROM documents), "
+        f"sh AS (SELECT DISTINCT doc_id, md5(x) AS s_h FROM "
+        f" (SELECT doc_id, unnest({duck_shingles('tk')}) AS x FROM t)), "
+        f"b AS (SELECT DISTINCT s_h FROM sh WHERE doc_id % {DECONTAM_BENCH_EVERY} = 0), "
+        "h AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+        " FROM sh JOIN b USING (s_h) GROUP BY 1) "
+        "SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, "
+        "COALESCE(h.n_hits, 0) > 0 AS contaminated "
+        "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"
+    )
+    # mirror of source_mix_plan: same count→rate→threshold arithmetic in
+    # the same operation order, so the doubles and hex cut points are
+    # bit-identical (rate >= 1.0 → 'g' = keep-everything, like
+    # hex_threshold)
+    sql["source_mix"] = (
+        "WITH c AS (SELECT lang AS src, count(*) AS n FROM documents GROUP BY 1), "
+        "t(src, tgt) AS (VALUES ('de', 0.2), ('en', 0.4), ('es', 0.2), ('zh', 0.2)), "
+        "j AS (SELECT t.src, t.tgt, COALESCE(c.n, 0) AS n FROM t LEFT JOIN c ON t.src = c.src), "
+        "kt AS (SELECT MIN(CAST(n AS DOUBLE) / tgt) AS kept FROM j), "
+        "r AS (SELECT src, CASE WHEN n > 0 THEN "
+        " (SELECT kept FROM kt) * tgt / CAST(n AS DOUBLE) ELSE 0.0 END AS rate FROM j), "
+        "th AS (SELECT src, CASE WHEN rate >= 1.0 THEN 'g' ELSE "
+        " printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) END AS thr FROM r) "
+        "SELECT d.doc_id, d.lang AS source, "
+        f"COALESCE(substring(md5(CAST(d.doc_id AS VARCHAR) || '{MIX_SALT}'), 1, 8) "
+        " < th.thr, FALSE) AS keep "
+        "FROM documents d LEFT JOIN th ON d.lang = th.src"
     )
     sql["sequence_pack"] = (
         f"WITH t AS (SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, "

@@ -38,6 +38,8 @@ CORPUS_QUERIES = [
     # tools/check_correctness.py, not here
     "model_quality",
     "ngram_dup",
+    "decontaminate",
+    "source_mix",
     "sequence_pack",
     "ann_topk",
     "token_rollup",

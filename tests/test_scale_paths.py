@@ -582,3 +582,60 @@ def test_streaming_pack_parity_at_scaled_shards(spark, tmp_path):
 
     expected = {tuple(r) for r in sequence_pack_plan(docs, shards=256).collect()}
     assert set(out_rows) == expected and out_rows
+
+
+def test_decontamination_semantics(spark):
+    """Benchmark docs flag themselves; docs sharing no shingle with the
+    benchmark stay clean; the corpus-side join is a BROADCAST of the
+    benchmark hashes (the corpus never shuffles raw shingles)."""
+    from typhoon_ocr_spark.operators.dedup import decontamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this sentence here"),
+            (3, "quick brown fox phrases leak into the training text"),
+            (4, "ab"),  # too short to shingle
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontamination_flags(docs, bench).collect()}
+    assert got[1][1] and got[1][0] > 0       # benchmark doc flags itself
+    assert got[3][1]                          # shares 'quick brown fox'
+    assert not got[2][1] and got[2][0] == 0   # disjoint text is clean
+    assert not got[4][1]                      # unshingleable -> zeros
+    plan = (
+        decontamination_flags(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_source_mix_plan_semantics(spark):
+    """The binding source keeps everything; kept counts land near the
+    target proportions; excluded sources drop entirely."""
+    from typhoon_ocr_spark.operators.sampling import source_mix_plan
+
+    rows = (
+        [(i, "big") for i in range(800)]
+        + [(1000 + i, "small") for i in range(100)]
+        + [(2000 + i, "skip") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = source_mix_plan(df, {"big": 0.5, "small": 0.5}).collect()
+    kept = {}
+    for r in got:
+        kept.setdefault(r["source"], [0, 0])
+        kept[r["source"]][0] += 1
+        kept[r["source"]][1] += int(r["keep"])
+    # kept_total = min(800/0.5, 100/0.5) = 200 -> small keeps ALL 100,
+    # big samples at rate 100/800
+    assert kept["small"][1] == 100
+    assert 70 <= kept["big"][1] <= 130  # hash sample around 100
+    assert kept["skip"][1] == 0
+    # deterministic: same plan twice -> identical keep sets
+    again = {(r["doc_id"], r["keep"]) for r in
+             source_mix_plan(df, {"big": 0.5, "small": 0.5}).collect()}
+    assert again == {(r["doc_id"], r["keep"]) for r in got}

@@ -407,6 +407,52 @@ def ngram_dup_coverage(documents: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
+DECONTAM_BENCH_EVERY = 50  # query contract: doc_id % EVERY == 0 poses
+# as the held-out benchmark set
+
+
+def decontamination_flags(
+    documents: DataFrame, benchmark: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Test-set decontamination — the GPT-3/Llama pipeline step that
+    drops training documents overlapping the evaluation benchmarks:
+    a document is contaminated when any of its 3-word shingles occurs
+    in the benchmark corpus.
+
+    Scale shape: the benchmark side is TINY by construction (eval sets
+    are kilobytes against a 100 TB corpus), so its distinct shingle
+    hashes broadcast and the corpus side never shuffles raw shingles —
+    scan → shingle → broadcast semi-join → one groupBy(doc) with
+    map-side partial agg (count_distinct). Docs too short to shingle
+    report zeros via the left join.
+    Output: (doc_id, n_hits, contaminated)."""
+    bench = (
+        shingle_frame(benchmark, text_col)
+        .select(F.explode("sh").alias("s"))
+        .select(F.md5("s").alias("s_h"))
+        .distinct()
+    )
+    doc_sh = (
+        shingle_frame(documents, text_col)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .select("doc_id", F.md5("s").alias("s_h"))
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench), "s_h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s_h").cast("long").alias("n_hits"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

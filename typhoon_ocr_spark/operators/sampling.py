@@ -93,6 +93,50 @@ def stratified_sample(
     return df.filter(h < threshold)
 
 
+MIX_SALT = "mix-v1"
+
+
+def source_mix_plan(
+    df: DataFrame,
+    targets: Dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Target-proportion corpus mixing — the Pile/Llama-style step that
+    resamples heterogeneous sources to a prescribed mix: given target
+    proportions (summing to 1 over the kept sources), keep the LARGEST
+    corpus whose per-source composition matches the targets:
+    kept_total = min_s(count_s / target_s), rate_s = kept_total ·
+    target_s / count_s (the binding source keeps everything, the rest
+    down-sample deterministically). Sources absent from ``targets``
+    drop entirely.
+
+    Scale shape: one count-per-source aggregate (map-side partial; S
+    rows reach the driver — the source list is tiny by construction),
+    then a map-only hash-threshold filter with literal thresholds —
+    the corpus itself never shuffles. Rate arithmetic is ordered
+    (kept_total · target / count, sources in sorted order) so the
+    DuckDB twin lands on bit-identical doubles and thresholds.
+    Output: (key_col, source, keep)."""
+    counts = {
+        r[0]: int(r[1]) for r in df.groupBy(source_col).count().collect()
+    }
+    pos = [(s, t) for s, t in sorted(targets.items()) if t > 0]
+    kept_total = min((counts.get(s, 0) / t for s, t in pos), default=0.0)
+    h = hash_hex(F.col(key_col), salt)
+    thr = F.lit(None).cast("string")
+    for s, t in pos:
+        n = counts.get(s, 0)
+        rate = kept_total * t / n if n else 0.0
+        thr = F.when(F.col(source_col) == s, F.lit(hex_threshold(rate))).otherwise(thr)
+    return df.select(
+        key_col,
+        F.col(source_col).alias("source"),
+        F.coalesce(h < thr, F.lit(False)).alias("keep"),
+    )
+
+
 SEQ_BUDGET = 2048   # tokens per packed training sequence
 # Default shard count for the DRIVER/oracle contract (the pack plan's
 # output depends on the shard layout, so the correctness gate pins a
