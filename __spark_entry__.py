@@ -748,8 +748,16 @@ def oracle_sql() -> dict[str, str]:
     # sub-ulp dot-product difference can never flip an assignment that
     # training would then amplify.
     from typhoon_ocr_spark.operators.similarity import (
+        IVF_MAX_CENTROIDS,
         IVF_TRAIN_ITERS,
         PQ_SUBSPACES,
+    )
+
+    # effective seed stride: cell count capped at IVF_MAX_CENTROIDS
+    # (integer arithmetic — bit-exact vs similarity._effective_every)
+    eff_every = (
+        f"(SELECT greatest({IVF_CENTROID_EVERY}, (count(*) + "
+        f"{IVF_MAX_CENTROIDS - 1}) // {IVF_MAX_CENTROIDS}) FROM embeddings)"
     )
 
     micro_cte = (
@@ -764,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
 
     ivf_parts = [
         f"c0 AS (SELECT vec_id AS centroid_id, e AS ce, nrm AS cn FROM nn "
-        f"WHERE vec_id % {IVF_CENTROID_EVERY} = 0)"
+        f"WHERE vec_id % {eff_every} = 0)"
     ]
     for it in range(1, IVF_TRAIN_ITERS + 1):
         prev = f"c{it - 1}"
@@ -831,7 +839,7 @@ def oracle_sql() -> dict[str, str]:
     pq_parts = [
         f"px AS ({px_union})",
         f"k0 AS (SELECT vec_id AS cid, m, se AS ce FROM px "
-        f"WHERE vec_id % {IVF_CENTROID_EVERY} = 0)",
+        f"WHERE vec_id % {eff_every} = 0)",
     ]
     for it in range(1, IVF_TRAIN_ITERS + 1):
         prev = f"k{it - 1}"

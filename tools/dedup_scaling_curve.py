@@ -28,7 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from typhoon_ocr_spark.operators import dedup, similarity, textstats  # noqa: E402
+from typhoon_ocr_spark.operators import (  # noqa: E402
+    dedup,
+    sampling,
+    similarity,
+    textstats,
+)
 from typhoon_ocr_spark.plans.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -122,7 +127,9 @@ def main() -> None:
         "ann_lsh_topk": lambda d, e: similarity.lsh_bucketed_topk(
             e, n_dims=dims
         ).count(),
-        "ann_ivf_topk": lambda d, e: similarity.ivf_probed_topk(e).count(),
+        "ann_ivf_topk": lambda d, e: similarity.ivf_probed_topk(
+            e, n_dims=dims
+        ).count(),
         # round 3: the one new textstats op with a shuffle + per-doc
         # fan-out (bigram explode -> groupBy -> window)
         "top_bigram": lambda d, e: textstats.top_bigram(d).count(),
@@ -137,10 +144,25 @@ def main() -> None:
         # round 4: sharded running-sum packing (same pruning hazard:
         # an unused window column would be elided under count())
         "sequence_pack": lambda d, e: int(
-            __import__(
-                "typhoon_ocr_spark.operators.sampling", fromlist=["sampling"]
-            ).sequence_pack_plan(d).agg({"seq_offset": "sum"}).collect()[0][0]
+            sampling.sequence_pack_plan(d)
+            .agg({"seq_offset": "sum"}).collect()[0][0]
         ),
+        # round 5: broadcast-benchmark semi-join + count_distinct; the
+        # 10x corpus shares shingles with the benchmark subset, so hit
+        # counts grow with duplication — sum keeps the lineage live
+        "decontaminate": lambda d, e: int(
+            dedup.decontamination_flags(
+                d,
+                d.filter(F.col("doc_id") % dedup.DECONTAM_BENCH_EVERY == 0),
+            ).agg({"n_hits": "sum"}).collect()[0][0]
+        ),
+        # round 5: count agg + map-only hash filter (kept-row count
+        # forces the threshold evaluation)
+        "source_mix": lambda d, e: sampling.source_mix_plan(
+            d.select("doc_id", "lang"),
+            {"en": 0.4, "de": 0.2, "es": 0.2, "zh": 0.2},
+            source_col="lang",
+        ).filter("keep").count(),
     }
 
     best: dict = {name: {"sec_1x": None, "sec_10x": None} for name in ops}
