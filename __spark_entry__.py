@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pii_scrub"] = lambda spark, sf: textstats.pii_scrub(_docs_with_pii(spark, sf))
+    q["paragraph_dedup"] = lambda spark, sf: textstats.paragraph_dedup(
+        _t(spark, sf, "documents")
+    )
 
     def _url_variants(spark, sf):
         # each fixture url in three wild forms that canonicalize to the
@@ -403,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _DRIVER_TAIL = [
     "url_normalize",
     "media_resize",
+    "host_rollup",
     "page_explode",
     "ordered_assembly",
     "top_price_per_flag",
@@ -1106,6 +1110,22 @@ def oracle_sql() -> dict[str, str]:
         f"{duck_pm('line_chars - dline_chars', 'line_chars')} AS dup_line_char_per_mille, "
         "n_paras, "
         f"{duck_pm('n_paras - n_dparas', 'n_paras')} AS dup_para_per_mille FROM m"
+    )
+
+    sql["paragraph_dedup"] = (
+        f"WITH p0 AS (SELECT doc_id, {duck_paras} AS paras FROM documents), "
+        "e AS (SELECT doc_id, CAST(generate_subscripts(paras, 1) - 1 AS BIGINT) "
+        " AS idx, unnest(paras) AS p FROM p0), "
+        "k AS (SELECT doc_id, idx, p FROM ("
+        " SELECT doc_id, idx, p, row_number() OVER (PARTITION BY md5(p) "
+        "  ORDER BY doc_id, idx) AS rn FROM e) WHERE rn = 1), "
+        "r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        " md5(string_agg(p, chr(10) || chr(10) ORDER BY idx)) AS clean_md5 "
+        " FROM k GROUP BY 1), "
+        "t AS (SELECT doc_id, CAST(len(paras) AS BIGINT) AS n_paras FROM p0) "
+        "SELECT t.doc_id, t.n_paras, COALESCE(r.n_kept, 0) AS n_kept, "
+        "COALESCE(r.clean_md5, md5('')) AS clean_md5 "
+        "FROM t LEFT JOIN r USING (doc_id)"
     )
 
     ell_pred = " OR ".join(f"ends_with(x, '{s}')" for s in ELLIPSIS_SUFFIXES)

@@ -40,6 +40,7 @@ CORPUS_QUERIES = [
     "ngram_dup",
     "decontaminate",
     "source_mix",
+    "paragraph_dedup",
     "sequence_pack",
     "ann_topk",
     "token_rollup",

@@ -639,3 +639,32 @@ def test_source_mix_plan_semantics(spark):
     again = {(r["doc_id"], r["keep"]) for r in
              source_mix_plan(df, {"big": 0.5, "small": 0.5}).collect()}
     assert again == {(r["doc_id"], r["keep"]) for r in got}
+
+
+def test_paragraph_dedup_semantics(spark):
+    """A paragraph repeated across documents survives only at its
+    lowest (doc_id, idx); documents reassemble from survivors in
+    order; a doc whose every paragraph lost reports n_kept=0."""
+    import hashlib
+
+    from typhoon_ocr_spark.operators.textstats import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n\n{boiler}\n\nunique beta"),
+            (2, f"{boiler}\n\nsecond doc body"),
+            (3, boiler),
+            (4, "standalone gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert (got[1]["n_paras"], got[1]["n_kept"]) == (3, 3)  # first copy keeps it
+    assert (got[2]["n_paras"], got[2]["n_kept"]) == (2, 1)
+    assert (got[3]["n_paras"], got[3]["n_kept"]) == (1, 0)
+    assert (got[4]["n_paras"], got[4]["n_kept"]) == (1, 1)
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert got[1]["clean_md5"] == md5(f"unique alpha\n\n{boiler}\n\nunique beta")
+    assert got[2]["clean_md5"] == md5("second doc body")
+    assert got[3]["clean_md5"] == md5("")

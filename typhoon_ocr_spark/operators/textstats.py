@@ -438,3 +438,52 @@ def model_quality_score(documents: DataFrame, text_col: str = "text") -> DataFra
         logit_pm.alias("logit_pm"),
         (logit_pm > 0).alias("keep"),
     )
+
+
+def paragraph_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-wide repeated-paragraph removal — the MassiveText/Gopher
+    'repeated passages' step, operating ACROSS documents where
+    repetition_stats measures within one: a paragraph survives only at
+    its corpus-wide FIRST occurrence (first = lowest (doc_id,
+    para_idx)), and each document reassembles from its surviving
+    paragraphs in original order ("\\n\\n"-joined). Boilerplate
+    headers/footers/navigation that repeat across a crawl disappear
+    from every copy but the first.
+
+    Scale shape: ONE shuffle — the per-hash first-occurrence window,
+    PARTITIONED by the paragraph md5 (never unpartitioned); the
+    reassembly groupBy runs map-side-partial sort_array∘collect_list.
+    Paragraph text rides the hash exchange once (the same volume any
+    text shuffle moves); docs whose every paragraph lost report
+    n_kept=0 with md5('') via the left join.
+    Output: (doc_id, n_paras, n_kept, clean_md5)."""
+    from pyspark.sql import Window
+
+    split = _nonempty_lines(F.col(text_col), PARA_SPLIT_PATTERN)
+    paras = (
+        documents.select("doc_id", F.posexplode(split).alias("idx", "p"))
+        .withColumn("p_h", F.md5("p"))
+    )
+    w = Window.partitionBy("p_h").orderBy("doc_id", "idx")
+    kept = paras.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rolled = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "p"))),
+                    lambda s: s["p"],
+                ),
+                "\n\n",
+            )
+        ).alias("clean_md5"),
+    )
+    totals = documents.select(
+        "doc_id", F.size(split).cast("long").alias("n_paras")
+    )
+    return totals.join(rolled, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
