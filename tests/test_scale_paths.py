@@ -668,3 +668,57 @@ def test_paragraph_dedup_semantics(spark):
     assert got[1]["clean_md5"] == md5(f"unique alpha\n\n{boiler}\n\nunique beta")
     assert got[2]["clean_md5"] == md5("second doc body")
     assert got[3]["clean_md5"] == md5("")
+
+
+def test_streaming_paragraph_dedup_state_across_batches(spark, tmp_path):
+    """Batch 1's winning paragraphs survive into batch 2 as state: the
+    boilerplate paragraph wins once (lowest (doc_id, idx)) and every
+    later copy — same batch or later batch — drops. Single-batch
+    winners match the batch twin's kept set exactly."""
+    import os
+
+    from typhoon_ocr_spark.operators.textstats import paragraph_dedup
+    from typhoon_ocr_spark.streaming.stateful import streaming_paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    b1 = spark.createDataFrame(
+        [
+            (1, f"unique alpha\n\n{boiler}"),
+            (2, f"{boiler}\n\nsecond body"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, f"{boiler}\n\nthird body")], "doc_id long, text string"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1.coalesce(1).write.parquet(src + "/b1")
+    b2.coalesce(1).write.parquet(src + "/b2")
+
+    out_rows = []
+    q = (
+        streaming_paragraph_dedup(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: out_rows.extend(tuple(r) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    winners = {(doc, idx) for _h, doc, idx in out_rows}
+    # boiler won exactly once; bodies each won once
+    assert sum(1 for d, i in winners if (d, i) in {(1, 1), (2, 0), (3, 0)}) == 1
+    assert (1, 0) in winners and (2, 1) in winners and (3, 1) in winners
+    assert len(out_rows) == len(winners)  # no duplicate emissions
+
+    # single ordered batch == batch twin's kept multiset (n_kept per doc)
+    batch = {r["doc_id"]: r["n_kept"] for r in paragraph_dedup(b1.union(b2)).collect()}
+    # file order is not pinned; whichever batch ran first, total winners
+    # per corpus match the batch op's total kept count
+    assert sum(batch.values()) == len(winners)

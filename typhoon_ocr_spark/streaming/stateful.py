@@ -424,3 +424,72 @@ def streaming_sequence_pack(doc_stream: DataFrame, budget: int = None,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming paragraph dedup: corpus-wide repeated-passage removal as
+# keyed state. The batch twin (textstats.paragraph_dedup) re-scans the
+# corpus; an ingest pipeline must drop a boilerplate paragraph against
+# every copy EVER seen.
+# ---------------------------------------------------------------------------
+
+PARA_DEDUP_OUTPUT = StructType(
+    [
+        StructField("p_h", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("idx", LongType()),
+    ]
+)
+PARA_DEDUP_STATE = StructType([StructField("seen", LongType())])
+
+
+def _para_first(
+    key: Tuple, frames: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    if state.exists:
+        return  # paragraph won in an earlier batch: every copy drops
+    best = None
+    for pdf in frames:
+        if not len(pdf):
+            continue
+        row = pdf.sort_values(["doc_id", "idx"]).iloc[0]
+        cand = (int(row["doc_id"]), int(row["idx"]))
+        if best is None or cand < best:
+            best = cand
+    state.update((1,))
+    if best is not None:
+        yield pd.DataFrame(
+            {"p_h": [key[0]], "doc_id": [best[0]], "idx": [best[1]]}
+        )
+
+
+def streaming_paragraph_dedup(doc_stream: DataFrame) -> DataFrame:
+    """Continuous twin of ``textstats.paragraph_dedup``: paragraphs
+    split by the SAME expression as the batch operator (the two cannot
+    drift), keyed by md5; the winning (doc_id, idx) per paragraph is
+    the first ever seen — within-batch ties break to the lowest
+    (doc_id, idx) like the batch rule, later arrivals in this or any
+    later micro-batch drop. Consumers reassemble documents from their
+    winning rows. State: one long per distinct paragraph (shard
+    checkpoints by key-hash range at 10^12 scale).
+    Input: streaming (doc_id, text). Output: PARA_DEDUP_OUTPUT."""
+    from ..functions.textsql import PARA_SPLIT_PATTERN
+    from ..operators.textstats import _nonempty_lines
+
+    paras = doc_stream.select(
+        "doc_id",
+        F.posexplode(
+            _nonempty_lines(F.col("text"), PARA_SPLIT_PATTERN)
+        ).alias("idx", "p"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.md5("p").alias("p_h"),
+    )
+    return paras.groupBy("p_h").applyInPandasWithState(
+        _para_first,
+        outputStructType=PARA_DEDUP_OUTPUT,
+        stateStructType=PARA_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
