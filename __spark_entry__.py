@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["paragraph_dedup"] = lambda spark, sf: textstats.paragraph_dedup(
         _t(spark, sf, "documents")
     )
+    q["vocab_topk"] = lambda spark, sf: textstats.vocab_topk(
+        _t(spark, sf, "documents")
+    )
 
     def _url_variants(spark, sf):
         # each fixture url in three wild forms that canonicalize to the
@@ -407,6 +410,7 @@ _DRIVER_TAIL = [
     "url_normalize",
     "media_resize",
     "host_rollup",
+    "kind_routing",
     "page_explode",
     "ordered_assembly",
     "top_price_per_flag",
@@ -1112,6 +1116,15 @@ def oracle_sql() -> dict[str, str]:
         f"{duck_pm('n_paras - n_dparas', 'n_paras')} AS dup_para_per_mille FROM m"
     )
 
+    from typhoon_ocr_spark.operators.textstats import VOCAB_TOP_K
+
+    sql["vocab_topk"] = (
+        f"WITH t AS (SELECT doc_id, unnest({toks}) AS token FROM documents), "
+        "c AS (SELECT token, CAST(count(*) AS BIGINT) AS occurrences, "
+        " CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq FROM t GROUP BY 1) "
+        f"SELECT token, occurrences, doc_freq FROM c "
+        f"ORDER BY occurrences DESC, token LIMIT {VOCAB_TOP_K}"
+    )
     sql["paragraph_dedup"] = (
         f"WITH p0 AS (SELECT doc_id, {duck_paras} AS paras FROM documents), "
         "e AS (SELECT doc_id, CAST(generate_subscripts(paras, 1) - 1 AS BIGINT) "

@@ -41,6 +41,7 @@ CORPUS_QUERIES = [
     "decontaminate",
     "source_mix",
     "paragraph_dedup",
+    "vocab_topk",
     "sequence_pack",
     "ann_topk",
     "token_rollup",

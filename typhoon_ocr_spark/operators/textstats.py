@@ -487,3 +487,26 @@ def paragraph_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+VOCAB_TOP_K = 200
+
+
+def vocab_topk(
+    documents: DataFrame, k: int = VOCAB_TOP_K, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary head — the token-frequency table every
+    tokenizer-training / stopword-calibration step starts from: the
+    ``k`` most frequent word tokens with total and document
+    frequencies. Shape at scale: one explode → partial-agg groupBy
+    (token) — count and distinct-doc count in the same aggregate — then
+    orderBy().limit() = TakeOrderedAndProject: parallel per-partition
+    top-k, never a global sort of the vocabulary. Ties break on the
+    token string. Output: (token, occurrences, doc_freq)."""
+    toks = word_tokens(F.col(text_col))
+    rows = documents.select("doc_id", F.explode(toks).alias("token"))
+    counts = rows.groupBy("token").agg(
+        F.count("*").cast("long").alias("occurrences"),
+        F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+    )
+    return counts.orderBy(F.desc("occurrences"), F.asc("token")).limit(k)
