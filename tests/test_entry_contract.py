@@ -35,3 +35,25 @@ def test_head_fits_driver_recording_window():
     q = list(entry.queries().keys())
     head = [k for k in q if k not in entry._DRIVER_TAIL]
     assert len(head) <= 50, f"driver head too large: {len(head)} > 50"
+
+
+def test_iceberg_confs_shape():
+    """The config-only Iceberg swap (north rule): confs name the SQL
+    extensions, a SparkCatalog with its warehouse, and the chosen
+    backend; unknown backends reject."""
+    import pytest
+
+    from typhoon_ocr_spark.plans.iceberg import ICEBERG_EXTENSION, iceberg_confs
+
+    c = iceberg_confs("s3://wh/root", catalog="lake", catalog_impl="glue")
+    assert c["spark.sql.extensions"] == ICEBERG_EXTENSION
+    assert c["spark.sql.catalog.lake"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert c["spark.sql.catalog.lake.warehouse"] == "s3://wh/root"
+    assert c["spark.sql.catalog.lake.catalog-impl"].endswith("GlueCatalog")
+
+    h = iceberg_confs("/tmp/wh", catalog_impl="hive", uri="thrift://ms:9083")
+    assert h["spark.sql.catalog.lake.type"] == "hive"
+    assert h["spark.sql.catalog.lake.uri"] == "thrift://ms:9083"
+
+    with pytest.raises(ValueError):
+        iceberg_confs("/tmp/wh", catalog_impl="bogus")
