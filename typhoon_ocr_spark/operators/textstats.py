@@ -32,13 +32,29 @@ from ..functions.textsql import (
     PUNCT_CLASS,
     STOPWORDS,
     THAI_NEGATED_CLASS,
+    WORD_SPLIT_PATTERN,
     WS_SPLIT_PATTERN,
 )
-from .dedup import word_tokens
+from .dedup import _maybe_spread, word_tokens
 
 
 def _per_mille(num: Column, den: Column) -> Column:
     return F.round(F.lit(1000.0) * num / F.greatest(den, F.lit(1))).cast("long")
+
+
+def _spread_docs(
+    documents: DataFrame, text_col: str, extra: dict | None = None
+) -> DataFrame:
+    """(doc_id, [extra aliases...,] text_col) projection, adaptively
+    spread (dedup._maybe_spread): every operator below is map-only (or
+    map-heavy before its first exchange), so a single-row-group input
+    file would serialize it onto one task (r6 measurement: the whole
+    textstats family ran single-core at bench scale)."""
+    cols = [F.col("doc_id")]
+    for name, expr in (extra or {}).items():
+        cols.append(expr.alias(name))
+    cols.append(F.col(text_col))
+    return _maybe_spread(documents.select(*cols), "doc_id")
 
 
 def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -47,7 +63,7 @@ def language_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.length(F.col(text_col))
     thai = F.length(F.regexp_replace(F.col(text_col), THAI_NEGATED_CLASS, ""))
     per_mille = _per_mille(thai, n)
-    return documents.select(
+    return _spread_docs(documents, text_col).select(
         "doc_id",
         per_mille.alias("thai_per_mille"),
         F.when(per_mille >= 100, F.lit("th")).otherwise(F.lit("en")).alias("pred_lang"),
@@ -68,7 +84,7 @@ def quality_scores(documents: DataFrame, text_col: str = "text") -> DataFrame:
     punct_pm = _per_mille(punct, n_chars)
     digit_pm = _per_mille(digits, n_chars)
     stop_pm = _per_mille(stops, n_tokens)
-    return documents.select(
+    return _spread_docs(documents, text_col).select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -92,7 +108,9 @@ def token_counts(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.filter(F.split(text, WS_SPLIT_PATTERN), lambda x: x != F.lit(""))
     ).cast("long")
     bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)).cast("long")
-    return documents.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+    return _spread_docs(documents, text_col).select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
 
 
 def _nonempty_lines(text: Column, pattern: str = LINE_SPLIT_PATTERN) -> Column:
@@ -122,7 +140,7 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # Generate barriers: (1) materialize the two split arrays once,
     # (2) materialize array_distinct once for its two consumers
     # (size + charsum) — the HOF-recompute guard used repo-wide.
-    a = documents.select(
+    a = _spread_docs(documents, text_col).select(
         "doc_id",
         F.explode(
             F.array(
@@ -179,9 +197,9 @@ def gopher_quality(
     pass_names = list(passthrough)
     text = F.col(text_col)
     ws = F.filter(F.split(text, WS_SPLIT_PATTERN), lambda x: x != F.lit(""))
-    a = documents.select(
+    a = _spread_docs(documents, text_col, extra=passthrough).select(
         "doc_id",
-        *(expr.alias(name) for name, expr in passthrough.items()),
+        *pass_names,
         F.explode(
             F.array(
                 F.struct(
@@ -275,7 +293,7 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
         )
         scrubbed = F.regexp_replace(scrubbed, pattern, token)
 
-    return documents.select(
+    return _spread_docs(documents, text_col).select(
         "doc_id",
         counts["n_emails"].alias("n_emails"),
         counts["n_phones"].alias("n_phones"),
@@ -316,50 +334,54 @@ def training_corpus_keep(documents: DataFrame, text_col: str = "text") -> DataFr
     )
 
 
+def _top_bigram_of_tokens(raw_tokens: list) -> list:
+    """One (bigram, occurrences, n_bigrams) row for a document's raw
+    split() output (empties dropped here); [] when <2 word tokens.
+    Tie-break = min((-count, bigram)): Python str ordering is code
+    point order == the JVM UTF8String binary order for valid UTF-8."""
+    from collections import Counter
+
+    toks = [t for t in raw_tokens if t]
+    if len(toks) < 2:
+        return []
+    counts = Counter(map(" ".join, zip(toks, toks[1:])))
+    best_gram, best_n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(best_gram, best_n, len(toks) - 1)]
+
+
 def top_bigram(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Most frequent word 2-gram per document and its share of all
     bigram occurrences (the Gopher top-n-gram repetition signal).
-    Docs with <2 word tokens have no bigram and are omitted. Shape at
-    scale: one explode + partial-agg groupBy on (doc_id, bigram), then
-    a doc_id-partitioned window on the already-shuffled frame — a
-    single exchange, no joins. Ties break on the bigram string.
-    Output: (doc_id, bigram, occurrences, top_per_mille)."""
-    from pyspark.sql import Window
+    Docs with <2 word tokens have no bigram and are omitted. Ties
+    break on the bigram string.
+    Output: (doc_id, bigram, occurrences, top_per_mille).
 
-    toks = word_tokens(F.col(text_col))
-    t = documents.select(
-        "doc_id", F.explode(F.array(toks)).alias("toks")
-    ).filter(F.size("toks") >= 2)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), i),
-            F.element_at(F.col("toks"), (i + F.lit(1)).cast("int")),
-        ),
-    )
-    rows = t.select(
+    Optimization shape (r6): the per-document argmax is map-only — JVM
+    codegen tokenization, then one mapInArrow pass running a
+    collections.Counter per document. The old plan exploded EVERY
+    bigram occurrence (interpreted concat_ws lambda per bigram),
+    shuffled all of them into a (doc_id, bigram) hash aggregate and
+    ranked with a window — 7.3 s at sf1.0 against ~0.5 s for this pass
+    with ZERO exchanges (a per-document statistic never needed a
+    shuffle). The per-mille share is computed by the same JVM
+    expression as before on the one-row-per-doc output."""
+    from .dedup import _id_preserving_map, _maybe_spread
+
+    src = _maybe_spread(documents.select("doc_id", text_col), "doc_id").select(
         "doc_id",
-        (F.size("toks") - 1).cast("long").alias("n_bigrams"),
-        F.explode(grams).alias("bigram"),
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT_PATTERN).alias("_rawtoks"),
     )
-    counts = rows.groupBy("doc_id", "bigram").agg(
-        F.count("*").alias("occurrences"), F.max("n_bigrams").alias("n_bigrams")
+
+    picked = _id_preserving_map(
+        src,
+        _top_bigram_of_tokens,
+        [("bigram", "string"), ("occurrences", "long"), ("n_bigrams", "long")],
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("occurrences"), F.asc("bigram")
-    )
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "bigram",
-            F.col("occurrences").cast("long").alias("occurrences"),
-            _per_mille(F.col("occurrences"), F.col("n_bigrams")).alias(
-                "top_per_mille"
-            ),
-        )
+    return picked.select(
+        "doc_id",
+        "bigram",
+        "occurrences",
+        _per_mille(F.col("occurrences"), F.col("n_bigrams")).alias("top_per_mille"),
     )
 
 
@@ -373,7 +395,7 @@ def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     # evaluates once per row instead of once per GRAM inside the
     # substr lambda (O(len²) otherwise), (2) the gram array
     # materializes once for its two consumers (min + size).
-    lowered = documents.select(
+    lowered = _spread_docs(documents, text_col).select(
         "doc_id", F.explode(F.array(F.lower(F.col(text_col)))).alias("lt")
     )
     lt = F.col("lt")
@@ -432,7 +454,7 @@ def model_quality_score(documents: DataFrame, text_col: str = "text") -> DataFra
     logit_pm = F.floor(
         wsum_pm / F.greatest(n_tokens, F.lit(1)) + F.lit(0.5)
     ).cast("long")
-    return documents.select(
+    return _spread_docs(documents, text_col).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         logit_pm.alias("logit_pm"),
@@ -461,7 +483,8 @@ def paragraph_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
     split = _nonempty_lines(F.col(text_col), PARA_SPLIT_PATTERN)
     paras = (
-        documents.select("doc_id", F.posexplode(split).alias("idx", "p"))
+        _spread_docs(documents, text_col)
+        .select("doc_id", F.posexplode(split).alias("idx", "p"))
         .withColumn("p_h", F.md5("p"))
     )
     w = Window.partitionBy("p_h").orderBy("doc_id", "idx")
@@ -504,7 +527,9 @@ def vocab_topk(
     top-k, never a global sort of the vocabulary. Ties break on the
     token string. Output: (token, occurrences, doc_freq)."""
     toks = word_tokens(F.col(text_col))
-    rows = documents.select("doc_id", F.explode(toks).alias("token"))
+    rows = _spread_docs(documents, text_col).select(
+        "doc_id", F.explode(toks).alias("token")
+    )
     counts = rows.groupBy("token").agg(
         F.count("*").cast("long").alias("occurrences"),
         F.count_distinct("doc_id").cast("long").alias("doc_freq"),

@@ -17,9 +17,16 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 
 # Arrow batches carry whole page payloads (MB-scale for the skew
-# cohort); bound records-per-batch so executor memory stays flat
-# (SURVEY.md §4.2 "Arrow batch sizing with BINARY payloads").
-ARROW_BLOB_BATCH = 64
+# cohort) AND narrow text/token rows; bound batches by BYTES (the
+# Spark 4 knob — sizes the blob batches by what actually matters) and
+# keep a generous record cap so narrow rows amortize the JVM<->Python
+# round trip. The old global 64-row cap sized for blobs throttled
+# every narrow-row mapInArrow pass ~60x below the byte budget (r6
+# measurement: simhash 5.3 s -> 0.9 s from batch sizing alone) while
+# letting a 5 MB-blob batch grow to ~300 MB; the byte bound is both
+# faster and safer.
+ARROW_MAX_BYTES_PER_BATCH = 32 * 1024 * 1024
+ARROW_MAX_RECORDS_PER_BATCH = 4096
 
 
 def build_session(
@@ -41,9 +48,23 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BLOB_BATCH))
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            str(ARROW_MAX_BYTES_PER_BATCH),
+        )
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
         # one 128 MiB input split per task keeps blob rows per task bounded
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # file-open cost at its 4 MiB default floors maxSplitBytes at
+        # 4 MiB, capping SCAN parallelism on small inputs (a 6 MB table
+        # planned 2 tasks on 32 cores); 64 KiB reflects real parquet
+        # open overhead. At 100 TB splits are governed by
+        # maxPartitionBytes and bytes-per-core exactly as before — this
+        # only stops tiny corpora from serializing onto 1-2 tasks.
+        .config("spark.sql.files.openCostInBytes", str(64 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
         # commit algorithm v2 moves task output into place at TASK
         # commit (parallel, overlapped with still-running tasks) instead
