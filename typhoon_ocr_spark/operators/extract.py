@@ -59,6 +59,19 @@ def extract_pages(pages: DataFrame, config: PipelineConfig = PipelineConfig()) -
 
     base = classify_pages(pages).select("url", "kind", "html")
 
+    # Adaptive unsplittable-input guard (r6, shared with the corpus
+    # operators): the parse stage below runs on the SCAN partitions,
+    # and a single-file/few-row-group pages table caps it at the
+    # row-group count (measured: 4 parse tasks on 32 cores at the
+    # sf1.0 bench tier). The spread only fires when the input provably
+    # cannot feed the cluster (files < cores AND total bytes < cores ×
+    # maxPartitionBytes) — a well-laid-out 100 TB corpus never pays
+    # this blob shuffle; the salt_buckets config below remains the
+    # explicit dial for big clustered inputs.
+    from .dedup import _maybe_spread
+
+    base = _maybe_spread(base, "url")
+
     if config.salt_buckets:
         # Optional pre-parse spread for pathologically clustered inputs
         # (e.g. one input file holding all giant documents). Costs a

@@ -177,7 +177,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+    from .dedup import _maybe_spread
+
+    return _maybe_spread(
+        media.select("media_id", "payload"), "media_id"
+    ).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 PAGE_FEATURE_SCHEMA = StructType(
@@ -216,7 +220,11 @@ def page_image_features(pages: DataFrame) -> DataFrame:
     image_rows = pages.withColumn("kind", sniff_kind_col("html")).filter(
         F.col("kind") == "image"
     )
-    return image_rows.select("url", "html").mapInPandas(batches, PAGE_FEATURE_SCHEMA)
+    from .dedup import _maybe_spread
+
+    return _maybe_spread(
+        image_rows.select("url", "html"), "url"
+    ).mapInPandas(batches, PAGE_FEATURE_SCHEMA)
 
 
 IMAGE_STATS_SCHEMA = StructType(
@@ -266,7 +274,11 @@ def image_pixel_stats(pages: DataFrame) -> DataFrame:
     image_rows = pages.withColumn("kind", sniff_kind_col("html")).filter(
         F.col("kind") == "image"
     )
-    return image_rows.select("url", "html").mapInPandas(batches, IMAGE_STATS_SCHEMA)
+    from .dedup import _maybe_spread
+
+    return _maybe_spread(
+        image_rows.select("url", "html"), "url"
+    ).mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -327,7 +339,11 @@ def resize_images(pages: DataFrame, max_size: int = 2048) -> DataFrame:
     image_rows = pages.withColumn("kind", sniff_kind_col("html")).filter(
         F.col("kind") == "image"
     )
-    return image_rows.select("url", "html").mapInPandas(batches, RESIZED_SCHEMA)
+    from .dedup import _maybe_spread
+
+    return _maybe_spread(
+        image_rows.select("url", "html"), "url"
+    ).mapInPandas(batches, RESIZED_SCHEMA)
 
 
 def media_from_documents(documents: DataFrame) -> DataFrame:
@@ -393,9 +409,11 @@ def media_meta(frames: DataFrame) -> DataFrame:
                     rows[name].append(val)
             yield pd.DataFrame(rows)
 
-    return frames.select("media_id", "payload").mapInPandas(
-        batches, MEDIA_META_SCHEMA
-    )
+    from .dedup import _maybe_spread
+
+    return _maybe_spread(
+        frames.select("media_id", "payload"), "media_id"
+    ).mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
 FRAME_STATS_SCHEMA = StructType(
@@ -444,9 +462,11 @@ def frame_pixel_stats(media: DataFrame) -> DataFrame:
                         rows[name].append(val)
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "payload").mapInPandas(
-        batches, FRAME_STATS_SCHEMA
-    )
+    from .dedup import _maybe_spread
+
+    return _maybe_spread(
+        media.select("media_id", "payload"), "media_id"
+    ).mapInPandas(batches, FRAME_STATS_SCHEMA)
 
 
 def frame_plan(meta: DataFrame, fps: float = 1.0) -> DataFrame:
