@@ -138,18 +138,33 @@ def test_pii_scrub_values(spark):
 
 def test_stats_operators_are_map_only(spark, tmp_path):
     """repetition_stats / gopher_quality / pii_scrub claim map-only
-    scale shape — pin it: no Exchange in the physical plan (a shuffle
-    here would be a silent 100 TB regression)."""
+    scale shape — pin it: with a WELL-LAID-OUT input (at least one
+    file per core — the 100 TB case), no Exchange appears in the
+    physical plan (a shuffle here would be a silent 100 TB
+    regression). A starved input (single small file, fewer files than
+    cores) instead gets exactly the gated adaptive spread
+    (dedup._maybe_spread → one REPARTITION_BY_NUM exchange) and
+    nothing else — the r6 unsplittable-input guard."""
+    par = spark.sparkContext.defaultParallelism
     docs = spark.createDataFrame(
-        [(1, DOC_MIXED, "en")], "doc_id long, text string, lang string"
+        [(i, DOC_MIXED, "en") for i in range(4 * par)],
+        "doc_id long, text string, lang string",
     )
-    path = str(tmp_path / "docs.parquet")
-    docs.write.parquet(path)
-    src = spark.read.parquet(path)
+    wide = str(tmp_path / "docs_wide.parquet")
+    docs.repartition(par).write.parquet(wide)
+    src_wide = spark.read.parquet(wide)
+    assert len(src_wide.inputFiles()) >= par  # the scale-shaped layout
+    narrow = str(tmp_path / "docs_narrow.parquet")
+    docs.coalesce(1).write.parquet(narrow)
+    src_narrow = spark.read.parquet(narrow)
     for op in (
         textstats.repetition_stats,
         textstats.gopher_quality,
         textstats.pii_scrub,
     ):
-        plan = op(src)._jdf.queryExecution().executedPlan().toString()
+        plan = op(src_wide)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, op.__name__
+        plan_n = op(src_narrow)._jdf.queryExecution().executedPlan().toString()
+        assert plan_n.count("Exchange") == 1 and "REPARTITION_BY_NUM" in plan_n, (
+            op.__name__
+        )

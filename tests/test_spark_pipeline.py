@@ -206,8 +206,14 @@ def test_round2_operator_plan_invariants(frames):
     assert p.count("Scan parquet") == 1 and p.count("Exchange") == 0
     assert "html" not in [l for l in p.splitlines() if "ReadSchema" in l][0]
 
+    # image_pixel_stats: single pruned scan; on this single-file
+    # fixture layout the only allowed exchange is the r6 gated
+    # adaptive spread (REPARTITION_BY_NUM; never fires on >=1 file
+    # per core — pinned by test_stats_operators_are_map_only)
     p = plan_of(multimodal.image_pixel_stats(pages))
-    assert p.count("Scan parquet") == 1 and p.count("Exchange") == 0
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") <= 1
+    assert p.count("Exchange") == 0 or "REPARTITION_BY_NUM" in p
 
 
 def test_top_open_orders_is_take_ordered(spark):

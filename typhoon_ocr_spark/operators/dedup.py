@@ -55,6 +55,8 @@ def _maybe_spread(df: DataFrame, key: str) -> DataFrame:
     import os
     from urllib.parse import unquote, urlparse
 
+    if df.isStreaming:  # micro-batch twins keep their own partitioning
+        return df
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     try:
