@@ -195,3 +195,42 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"])
            for r in connected_components(pairs, max_iter=15).collect()}
     assert got == {i: (100, 41) for i in range(100, 141)}
+
+
+def test_arrow_pass_degenerate_doc_semantics(spark):
+    """r6 focused pins for the vectorized Arrow passes: the degenerate
+    documents the corpus oracle never exercises must keep the exact
+    semantics of the JVM expressions they replaced."""
+    from typhoon_ocr_spark.operators.dedup import (
+        minhash_bands,
+        simhash_fingerprints,
+    )
+    from typhoon_ocr_spark.operators.textstats import top_bigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four"),        # normal
+            (2, ""),                          # empty text
+            (3, "!!! ??? ..."),               # tokens all empty after split
+            (4, "solo"),                      # 1 token: no bigram, no bands
+            (5, None),                        # null text
+            (6, "a b"),                       # 2 tokens: bigram, no shingle
+        ],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: (r["simhash"], r["n_tokens"])
+          for r in simhash_fingerprints(docs).collect()}
+    # empty/zero-token docs: the empty-fold value is all-'1', count 0
+    assert sh[2] == ("1" * 16, 0) and sh[3] == ("1" * 16, 0)
+    # null text keeps its old row: CASE WHEN null>=0 → '0', size(null) → null
+    assert sh[5] == ("0" * 16, None)
+    assert sh[1][1] == 4
+
+    bands = {r["doc_id"] for r in minhash_bands(docs).collect()}
+    assert bands == {1}  # only the >=3-token doc shingles
+
+    bg = {r["doc_id"]: (r["bigram"], r["occurrences"], r["top_per_mille"])
+          for r in top_bigram(docs).collect()}
+    assert set(bg) == {1, 6}  # <2-token and null docs are omitted
+    assert bg[6] == ("a b", 1, 1000)
+    assert bg[1][0] == "one two"

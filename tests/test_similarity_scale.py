@@ -198,3 +198,70 @@ def test_pq_codebooks_partitioning_independent(spark):
     b5 = similarity.train_pq_codebooks(emb.repartition(5), n_dims=64)
     assert b1 == b5
     assert set(b1.keys()) == set(range(similarity.PQ_SUBSPACES))
+
+
+def test_cosine_topk_bit_parity_with_jvm_fold(spark):
+    """r6 pinned invariant: the NumPy mapInArrow scorer must rank
+    exactly like the JVM zip_with/aggregate fold it replaced — the
+    dimension-ordered accumulation argument made concrete. Any change
+    to the accumulation order (GEMM, pairwise summation, FMA) that
+    breaks bit-identity shows up here as a rank flip on near-ties."""
+    from pyspark.sql import Window
+
+    from typhoon_ocr_spark.sources.fixtures import planted_embeddings
+
+    emb = spark.createDataFrame(
+        planted_embeddings(400, dims=64, cohort_size=8, noise=0.15),
+        "vec_id long, embedding array<float>",
+    )
+
+    def jvm_reference(embeddings, query_every=100, k=5):
+        base = similarity._with_norm(embeddings)
+        queries = base.filter(F.col("vec_id") % query_every == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        scored = base.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        ).withColumn(
+            "score",
+            similarity._dot(F.col("qe"), F.col("e"))
+            / (F.col("qn") * F.col("nrm")),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("vec_id").alias("neighbor_id"),
+            )
+        )
+
+    got = sorted(tuple(r) for r in similarity.cosine_topk(emb).collect())
+    ref = sorted(tuple(r) for r in jvm_reference(emb).collect())
+    assert got == ref and got
+
+
+def test_cosine_topk_empty_and_partitioned_inputs(spark):
+    """The Arrow scorer is partitioning-independent (per-task top-k
+    merge is exact) and degrades cleanly on empty query cohorts."""
+    from typhoon_ocr_spark.sources.fixtures import planted_embeddings
+
+    emb = spark.createDataFrame(
+        planted_embeddings(300, dims=64, cohort_size=8, noise=0.15),
+        "vec_id long, embedding array<float>",
+    )
+    one = sorted(tuple(r) for r in similarity.cosine_topk(emb.coalesce(1)).collect())
+    many = sorted(tuple(r) for r in similarity.cosine_topk(emb.repartition(7)).collect())
+    assert one == many and one
+    # no query cohort (every vec_id % 100 != 0) → empty frame, not a crash
+    none = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") % 100 != 0)
+    )
+    assert none.count() == 0
+    assert none.columns == ["query_id", "rank", "neighbor_id"]
